@@ -1,0 +1,227 @@
+"""Analytical ground-truth tests for spectral metrics.
+
+These mirror the reference oracle suite (reference: tests/test_metrics.py) and
+additionally pin the on-device batched path against the host float64 path.
+"""
+
+import numpy as np
+import pytest
+
+from vision_spectra_tpu.spectral import (
+    aggregate_spectral_metrics,
+    alpha_exponent,
+    batched_spectral_metrics,
+    compute_distributions,
+    get_spectral_distribution,
+    get_spectral_metrics,
+    power_law_alpha_hill,
+    spectral_entropy,
+    stable_rank,
+)
+from vision_spectra_tpu.spectral.extraction import WeightInfo
+from vision_spectra_tpu.spectral.tracker import SpectralTracker
+
+
+def _power_law_matrix(n=100, alpha=2.0, seed=0):
+    rng = np.random.RandomState(seed)
+    u = np.linalg.qr(rng.randn(n, n))[0]
+    v = np.linalg.qr(rng.randn(n, n))[0]
+    s = np.arange(1, n + 1, dtype=np.float64) ** (-alpha)
+    return u @ np.diag(s) @ v.T
+
+
+class TestSpectralEntropy:
+    def test_identity_is_log_n(self):
+        n = 10
+        assert spectral_entropy(np.eye(n)) == pytest.approx(np.log(n), abs=1e-6)
+
+    def test_rank_one_is_near_zero(self):
+        w = np.outer(np.ones(10), np.ones(10))
+        assert spectral_entropy(w) < 0.5
+
+    def test_non_2d_returns_nan(self):
+        assert np.isnan(spectral_entropy(np.ones(5)))
+
+    def test_zero_matrix_returns_nan(self):
+        assert np.isnan(spectral_entropy(np.zeros((8, 8))))
+
+
+class TestStableRank:
+    def test_identity_is_n(self):
+        assert stable_rank(np.eye(10)) == pytest.approx(10.0, abs=1e-6)
+
+    def test_rank_one_is_one(self):
+        assert stable_rank(np.ones((10, 10))) == pytest.approx(1.0, abs=1e-6)
+
+    def test_bounded_by_rank(self):
+        rng = np.random.RandomState(0)
+        w = rng.randn(30, 20)
+        sr = stable_rank(w)
+        assert 1.0 <= sr <= 20.0
+
+    def test_non_2d_returns_nan(self):
+        assert np.isnan(stable_rank(np.ones(5)))
+
+
+class TestAlphaExponent:
+    def test_recovers_known_power_law(self):
+        w = _power_law_matrix(n=100, alpha=2.0)
+        assert alpha_exponent(w) == pytest.approx(2.0, abs=1.0)
+
+    def test_identity_is_zero(self):
+        assert alpha_exponent(np.eye(50)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_too_few_svs_returns_nan(self):
+        assert np.isnan(alpha_exponent(np.eye(4)))
+
+    def test_explicit_fit_range(self):
+        w = _power_law_matrix(n=100, alpha=1.5)
+        a = alpha_exponent(w, fit_range=(10, 60))
+        assert a == pytest.approx(1.5, abs=0.8)
+
+
+class TestHillAlpha:
+    def test_returns_finite_for_random(self):
+        rng = np.random.RandomState(0)
+        a = power_law_alpha_hill(rng.randn(100, 100))
+        assert np.isfinite(a) and a > 1.0
+
+    def test_too_few_returns_nan(self):
+        assert np.isnan(power_law_alpha_hill(np.eye(4)))
+
+    def test_identity_returns_nan(self):
+        # All eigenvalues equal → H = 0 → undefined tail index.
+        assert np.isnan(power_law_alpha_hill(np.eye(50)))
+
+
+class TestNumericalStability:
+    """Ill-conditioned inputs must produce a number or NaN, never crash."""
+
+    @pytest.mark.parametrize("scale", [1e-10, 1e6])
+    def test_extreme_scales(self, scale):
+        rng = np.random.RandomState(1)
+        w = rng.randn(40, 40) * scale
+        for f in (spectral_entropy, stable_rank, alpha_exponent, power_law_alpha_hill):
+            v = f(w)
+            assert np.isfinite(v) or np.isnan(v)
+
+    def test_high_condition_number(self):
+        n = 40
+        s = np.logspace(0, -10, n)  # condition number 1e10
+        rng = np.random.RandomState(2)
+        u = np.linalg.qr(rng.randn(n, n))[0]
+        v = np.linalg.qr(rng.randn(n, n))[0]
+        w = u @ np.diag(s) @ v.T
+        m = get_spectral_metrics(w)
+        assert set(m) == {
+            "spectral_entropy",
+            "stable_rank",
+            "alpha_exponent",
+            "pl_alpha_hill",
+        }
+
+
+class TestAggregation:
+    def test_mean_std(self):
+        m1 = {"stable_rank": 2.0, "alpha_exponent": 1.0}
+        m2 = {"stable_rank": 4.0, "alpha_exponent": np.nan}
+        agg = aggregate_spectral_metrics([m1, m2])
+        assert agg["stable_rank_mean"] == pytest.approx(3.0)
+        assert agg["stable_rank_std"] == pytest.approx(1.0)
+        assert agg["alpha_exponent_mean"] == pytest.approx(1.0)
+
+    def test_empty(self):
+        assert aggregate_spectral_metrics([]) == {}
+
+
+class TestDeviceHostParity:
+    """The batched on-device path must agree with the host float64 path."""
+
+    def test_batched_matches_host(self):
+        rng = np.random.RandomState(3)
+        mats = [rng.randn(48, 48).astype(np.float32) for _ in range(4)]
+        svs, dev_metrics = batched_spectral_metrics(np.stack(mats))
+        for w, s, dm in zip(mats, svs, dev_metrics):
+            host = get_spectral_metrics(w)
+            for key in ("spectral_entropy", "stable_rank"):
+                assert dm[key] == pytest.approx(host[key], rel=1e-3), key
+            for key in ("alpha_exponent", "pl_alpha_hill"):
+                assert dm[key] == pytest.approx(host[key], rel=2e-2), key
+            # Spectra themselves agree
+            host_s = np.sort(
+                np.linalg.svd(w.astype(np.float64), compute_uv=False)
+            )[::-1]
+            np.testing.assert_allclose(s, host_s, rtol=1e-3, atol=1e-5)
+
+    def test_power_law_alpha_on_device(self):
+        w = _power_law_matrix(n=100, alpha=2.0).astype(np.float32)
+        _, metrics = batched_spectral_metrics(w[None])
+        assert metrics[0]["alpha_exponent"] == pytest.approx(2.0, abs=1.0)
+
+
+class TestDistributions:
+    def test_invariants(self):
+        rng = np.random.RandomState(4)
+        d = get_spectral_distribution(rng.randn(32, 32), "m", "q")
+        assert d is not None
+        assert np.all(np.diff(d.singular_values) <= 1e-12)  # descending
+        assert np.all(d.normalized_sv <= 1.0 + 1e-9)
+        assert np.all(np.diff(d.cumulative_variance) >= -1e-12)  # monotone
+        assert d.cumulative_variance[-1] == pytest.approx(1.0, abs=1e-9)
+
+    def test_compute_distributions_device_groups_shapes(self):
+        rng = np.random.RandomState(5)
+        weights = [
+            WeightInfo("a", 0, "q", rng.randn(16, 16)),
+            WeightInfo("b", 0, "k", rng.randn(16, 16)),
+            WeightInfo("c", None, "patch_embed", rng.randn(16, 48)),
+        ]
+        dists = compute_distributions(weights, on_device=True)
+        assert [d.name for d in dists] == ["a", "b", "c"]
+        host = compute_distributions(weights, on_device=False)
+        for dd, dh in zip(dists, host):
+            np.testing.assert_allclose(
+                dd.singular_values, dh.singular_values, rtol=1e-3, atol=1e-5
+            )
+
+
+class TestTracker:
+    def _params(self, seed=0, e=16):
+        rng = np.random.RandomState(seed)
+        return {
+            "patch_embed": {"kernel": rng.randn(48, e)},
+            "blocks_0": {
+                "attn": {
+                    "qkv": {"kernel": rng.randn(e, 3 * e)},
+                    "proj": {"kernel": rng.randn(e, e)},
+                }
+            },
+        }
+
+    def test_record_and_history(self):
+        tracker = SpectralTracker(max_singular_values=8)
+        tracker.record_epoch(self._params(0), epoch=0)
+        tracker.record_epoch(self._params(1), epoch=1)
+        assert len(tracker.history) == 2
+        names = tracker.get_all_layer_names()
+        assert "blocks.0.attn.qkv.q" in names
+        assert "blocks.0.attn.proj" in names
+        assert "patch_embed.proj" in names
+        epochs, vals = tracker.get_metric_history("stable_rank_mean")
+        assert epochs == [0, 1]
+        assert all(np.isfinite(v) for v in vals)
+        # truncation respected
+        assert len(tracker.history[0].distributions[0].singular_values) <= 8
+
+    def test_save_load_roundtrip(self, tmp_path):
+        tracker = SpectralTracker(max_singular_values=8)
+        tracker.record_epoch(self._params(0), epoch=0)
+        path = tmp_path / "hist.json"
+        tracker.save(path)
+        loaded = SpectralTracker.load(path)
+        assert len(loaded.history) == 1
+        assert loaded.get_all_layer_names() == tracker.get_all_layer_names()
+        orig = tracker.history[0].distributions[0]
+        new = loaded.history[0].distributions[0]
+        np.testing.assert_allclose(new.singular_values, orig.singular_values)
+        assert new.metrics.keys() == orig.metrics.keys()

@@ -1,0 +1,322 @@
+"""Spectral metrics for weight-matrix analysis — the science core.
+
+Reimplements the reference metric suite (reference:
+vision_spectra/metrics/spectral.py:49-460) with two execution paths:
+
+1. **Host reference path** (float64 numpy + LAPACK SVD): bit-comparable to the
+   reference semantics, used for tests, publication figures, and as a
+   cross-check for the device path.
+
+2. **Device path** (batched ``jnp.linalg.svd`` under jit): matrices of the
+   same shape are stacked into ``[G, m, n]`` and their spectra + all four
+   metrics are computed in one compiled program on-chip. This is what makes
+   per-epoch spectral logging essentially free on TPU — the SVDs ride the
+   accelerator and only ``G * 4`` scalars come back to host.
+
+Metrics (all computed from the singular values ``σ₁ ≥ … ≥ σₘ``):
+
+- **spectral entropy**: Shannon entropy of ``p_i = σ_i² / Σσ²`` (nats).
+- **stable rank**: ``Σσ² / σ₁²`` — continuous effective dimensionality.
+- **alpha exponent**: ``−slope`` of the OLS fit of ``log σ_i`` vs ``log i``
+  over the bulk window ``[10%, 60%]`` of the sorted spectrum (min 8 SVs).
+- **Hill alpha**: ``1 + 1/mean(log(λ_i/λ_k))`` over the top
+  ``k = max(5, 10% · n)`` eigenvalues ``λ = σ²`` (Pareto-tail MLE).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "spectral_entropy",
+    "stable_rank",
+    "alpha_exponent",
+    "power_law_alpha_hill",
+    "get_spectral_metrics",
+    "aggregate_spectral_metrics",
+    "METRIC_KEYS",
+    "metrics_from_singular_values",
+    "batched_spectral_metrics",
+    "batched_singular_values",
+]
+
+METRIC_KEYS = ("spectral_entropy", "stable_rank", "alpha_exponent", "pl_alpha_hill")
+
+
+# =============================================================================
+# Host reference path (float64, LAPACK)
+# =============================================================================
+
+
+def _host_singular_values(weight: np.ndarray) -> np.ndarray | None:
+    """Full SVD spectrum in float64, or None on failure / non-2D input."""
+    if getattr(weight, "ndim", 0) != 2:
+        return None
+    from scipy.linalg import svd as _svd
+
+    try:
+        return _svd(np.asarray(weight, dtype=np.float64), compute_uv=False)
+    except Exception:
+        return None
+
+
+def spectral_entropy(weight_matrix: np.ndarray) -> float:
+    """Shannon entropy (nats) of the normalized squared singular values.
+
+    Max ``log(n)`` for a uniform spectrum (identity), 0 for rank-1.
+    Reference: metrics/spectral.py:49-109.
+    """
+    s = _host_singular_values(weight_matrix)
+    if s is None:
+        return float("nan")
+    s = s[np.isfinite(s) & (s > 0)]
+    if s.size == 0:
+        return float("nan")
+    p = (s * s).astype(np.float64)
+    total = p.sum()
+    if total <= 0 or not np.isfinite(total):
+        return float("nan")
+    p /= total
+    return float(-np.sum(p * np.log(p)))
+
+
+def stable_rank(weight_matrix: np.ndarray) -> float:
+    """``||W||_F² / ||W||_2²`` — in [1, rank(W)].
+
+    Reference: metrics/spectral.py:112-173.
+    """
+    s = _host_singular_values(weight_matrix)
+    if s is None:
+        return float("nan")
+    s = s[np.isfinite(s) & (s >= 0)]
+    if s.size == 0:
+        return float("nan")
+    top = s.max()
+    if top <= 0 or not np.isfinite(top):
+        return float("nan")
+    return float(np.sum(s * s) / (top * top))
+
+
+def _bulk_window(m: int, fit_range: tuple[int, int] | None) -> tuple[int, int] | None:
+    """The [10%, 60%] bulk fitting window used by the alpha fit.
+
+    Returns (start, end) indices into the descending spectrum, or None when
+    the spectrum is too short for a reliable fit. Reference:
+    metrics/spectral.py:251-262.
+    """
+    if fit_range is not None:
+        start, end = fit_range
+        if end > m or end - start < 2:
+            return None
+        return start, end
+    if m < 8:
+        return None
+    start = max(1, int(0.10 * m))
+    end = min(max(start + 6, int(0.60 * m)), m)
+    if end - start < 2:
+        return None
+    return start, end
+
+
+def alpha_exponent(
+    weight_matrix: np.ndarray,
+    fit_range: tuple[int, int] | None = None,
+) -> float:
+    """Power-law decay rate α from the log-log rank fit ``σ_i ∝ i^(−α)``.
+
+    Fits OLS over the bulk window (default [10%, 60%] of the sorted spectrum,
+    ≥ 8 SVs required). Reference: metrics/spectral.py:176-273.
+    """
+    s = _host_singular_values(weight_matrix)
+    if s is None:
+        return float("nan")
+    s = s[np.isfinite(s) & (s > 0)]
+    s = np.sort(s)[::-1]
+    window = _bulk_window(s.size, fit_range)
+    if window is None:
+        return float("nan")
+    start, end = window
+    log_i = np.log(np.arange(start + 1, end + 1, dtype=np.float64))
+    log_s = np.log(s[start:end])
+    try:
+        slope = np.polyfit(log_i, log_s, 1)[0]
+    except Exception:
+        return float("nan")
+    return float(-slope)
+
+
+def power_law_alpha_hill(weight_matrix: np.ndarray, k: int | None = None) -> float:
+    """Hill MLE of the Pareto tail index on eigenvalues ``λ = σ²``.
+
+    ``α = 1 + 1/H`` with ``H = mean(log(λ_i / λ_k))`` over the top
+    ``k = max(5, 10%·n)`` eigenvalues (n ≥ 8 required).
+    Reference: metrics/spectral.py:276-368.
+    """
+    s = _host_singular_values(weight_matrix)
+    if s is None:
+        return float("nan")
+    lam = (s.astype(np.float64)) ** 2
+    lam = lam[np.isfinite(lam) & (lam > 0)]
+    n = lam.size
+    if n < 8:
+        return float("nan")
+    if k is None:
+        k = min(max(5, int(0.10 * n)), max(5, n - 1))
+    tail = np.sort(lam)[::-1][:k]
+    xmin = tail[-1]
+    if xmin <= 0 or np.any(tail <= 0):
+        return float("nan")
+    h = float(np.mean(np.log(tail / xmin)))
+    if h <= 0 or not np.isfinite(h):
+        return float("nan")
+    return 1.0 + 1.0 / h
+
+
+def get_spectral_metrics(weight_matrix: Any) -> dict[str, float]:
+    """All four spectral metrics for one matrix (host float64 path).
+
+    Accepts numpy arrays, JAX arrays, or anything array-like.
+    Reference: metrics/spectral.py:371-414.
+    """
+    w = np.asarray(weight_matrix, dtype=np.float64)
+    return {
+        "spectral_entropy": spectral_entropy(w),
+        "stable_rank": stable_rank(w),
+        "alpha_exponent": alpha_exponent(w),
+        "pl_alpha_hill": power_law_alpha_hill(w),
+    }
+
+
+def aggregate_spectral_metrics(
+    metrics_list: list[dict[str, float]],
+) -> dict[str, float]:
+    """NaN-aware mean/std per metric key across layers.
+
+    Reference: metrics/spectral.py:417-460.
+    """
+    if not metrics_list:
+        return {}
+    out: dict[str, float] = {}
+    for key in metrics_list[0]:
+        vals = [m[key] for m in metrics_list if np.isfinite(m.get(key, np.nan))]
+        if vals:
+            out[f"{key}_mean"] = float(np.mean(vals))
+            out[f"{key}_std"] = float(np.std(vals))
+        else:
+            out[f"{key}_mean"] = float("nan")
+            out[f"{key}_std"] = float("nan")
+    return out
+
+
+# =============================================================================
+# Device path (batched, jitted)
+# =============================================================================
+
+
+def metrics_from_singular_values(s, m: int | None = None):
+    """All four metrics from a descending SV vector — pure jnp, vmap-able.
+
+    ``s`` is one spectrum of static length ``m`` (pass m explicitly when
+    tracing). Invalid entries (≤ 0 or non-finite) are masked out; window
+    boundaries for the alpha/Hill fits are computed from the static length,
+    matching the host path whenever the matrix is full-rank (the typical case
+    for trained weights).
+
+    Returns a dict of 4 scalars (float32 on TPU).
+    """
+    if m is None:
+        m = s.shape[-1]
+    valid = jnp.isfinite(s) & (s > 0)
+    s = jnp.where(valid, s, 0.0)
+    s2 = s * s
+    total = jnp.sum(s2)
+
+    # Entropy
+    p = s2 / jnp.where(total > 0, total, 1.0)
+    ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0))
+    ent = jnp.where(total > 0, ent, jnp.nan)
+
+    # Stable rank
+    top = jnp.max(s)
+    srank = jnp.where(top > 0, total / (top * top), jnp.nan)
+
+    # Alpha exponent: OLS over static bulk window, masking invalid SVs.
+    window = _bulk_window(m, None)
+    if window is None:
+        alpha = jnp.float32(jnp.nan)
+    else:
+        start, end = window
+        sw = s[start:end]
+        wmask = (sw > 0).astype(sw.dtype)
+        log_i = jnp.log(jnp.arange(start + 1, end + 1, dtype=sw.dtype))
+        log_s = jnp.log(jnp.where(sw > 0, sw, 1.0))
+        n_w = jnp.sum(wmask)
+        mean_x = jnp.sum(log_i * wmask) / n_w
+        mean_y = jnp.sum(log_s * wmask) / n_w
+        cov = jnp.sum(wmask * (log_i - mean_x) * (log_s - mean_y))
+        var = jnp.sum(wmask * (log_i - mean_x) ** 2)
+        alpha = jnp.where((n_w >= 2) & (var > 0), -cov / var, jnp.nan)
+
+    # Hill estimator on eigenvalues λ = σ² (k from static length).
+    if m < 8:
+        hill = jnp.float32(jnp.nan)
+    else:
+        k = min(max(5, int(0.10 * m)), max(5, m - 1))
+        tail = s2[:k]
+        xmin = tail[k - 1]
+        ok = xmin > 0
+        h = jnp.mean(jnp.log(jnp.where(ok, tail / jnp.where(ok, xmin, 1.0), 1.0)))
+        hill = jnp.where(ok & (h > 0), 1.0 + 1.0 / h, jnp.nan)
+
+    return {
+        "spectral_entropy": ent,
+        "stable_rank": srank,
+        "alpha_exponent": alpha,
+        "pl_alpha_hill": hill,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("compute_metrics",))
+def _batched_spectra(stack, compute_metrics: bool = True):
+    """SVD a stack of same-shape matrices and optionally compute metrics.
+
+    ``stack``: [G, m, n] float32. Returns (singular_values [G, min(m,n)],
+    metrics dict of [G] vectors or None).
+    """
+    stack = stack.astype(jnp.float32)
+    s = jnp.linalg.svd(stack, compute_uv=False)  # [G, min(m, n)], descending
+    if not compute_metrics:
+        return s, None
+    m = s.shape[-1]
+    metrics = jax.vmap(lambda row: metrics_from_singular_values(row, m))(s)
+    return s, metrics
+
+
+def batched_singular_values(stack) -> np.ndarray:
+    """Device-batched SVD spectra for a [G, m, n] stack; returns numpy [G, k]."""
+    s, _ = _batched_spectra(stack, compute_metrics=False)
+    return np.asarray(s)
+
+
+def batched_spectral_metrics(stack) -> tuple[np.ndarray, list[dict[str, float]]]:
+    """Device-batched spectra + metrics for a stack of same-shape matrices.
+
+    Args:
+        stack: array-like [G, m, n] (any float dtype).
+
+    Returns:
+        (singular_values [G, min(m,n)] numpy,
+         list of G per-matrix metric dicts with float values)
+    """
+    s, metrics = _batched_spectra(np.asarray(stack), compute_metrics=True)
+    s = np.asarray(s)
+    metrics = {k: np.asarray(v) for k, v in metrics.items()}
+    per_matrix = [
+        {k: float(metrics[k][g]) for k in METRIC_KEYS} for g in range(s.shape[0])
+    ]
+    return s, per_matrix
