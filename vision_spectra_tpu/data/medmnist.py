@@ -1,0 +1,255 @@
+"""MedMNIST dataset loading from the standard ``.npz`` distribution files.
+
+Reference behavior: vision_spectra/data/medmnist.py:30-316. The reference
+downloads via the ``medmnist`` package; this environment has no network
+access and no medmnist package, so this module:
+
+1. Reads the standard MedMNIST v2 ``.npz`` files (keys ``{split}_images``
+   uint8 [N, 28, 28(, C)] and ``{split}_labels`` [N, 1]) from
+   ``data_dir/<name>.npz`` — drop the files there and everything works.
+2. When the file is absent, generates a **deterministic surrogate** with the
+   correct shapes/classes (class-conditional Gaussian-blob textures). The
+   surrogate exists so throughput benchmarks and smoke tests run without the
+   real data; accuracy numbers on it are NOT comparable to real MedMNIST,
+   and a loud warning is emitted.
+
+Stratified subsampling (``sample_ratio < 1``) preserves per-class ratios as
+in the reference (medmnist.py:247-268).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from vision_spectra_tpu.data.base import ArraySplit, BaseDataset, DatasetInfo
+from vision_spectra_tpu.utils.logging import logger
+
+if TYPE_CHECKING:
+    from vision_spectra_tpu.config import DatasetConfig
+
+# Class metadata for the six supported variants (reference: medmnist.py:30-106).
+MEDMNIST_INFO: dict[str, dict] = {
+    "pathmnist": {
+        "num_classes": 9,
+        "num_channels": 3,
+        "class_names": [
+            "adipose",
+            "background",
+            "debris",
+            "lymphocytes",
+            "mucus",
+            "smooth muscle",
+            "normal colon mucosa",
+            "cancer-associated stroma",
+            "colorectal adenocarcinoma epithelium",
+        ],
+        "splits": {"train": 89996, "val": 10004, "test": 7180},
+    },
+    "pneumoniamnist": {
+        "num_classes": 2,
+        "num_channels": 1,
+        "class_names": ["normal", "pneumonia"],
+        "splits": {"train": 4708, "val": 524, "test": 624},
+    },
+    "bloodmnist": {
+        "num_classes": 8,
+        "num_channels": 3,
+        "class_names": [
+            "basophil",
+            "eosinophil",
+            "erythroblast",
+            "ig",
+            "lymphocyte",
+            "monocyte",
+            "neutrophil",
+            "platelet",
+        ],
+        "splits": {"train": 11959, "val": 1712, "test": 3421},
+    },
+    "dermamnist": {
+        "num_classes": 7,
+        "num_channels": 3,
+        "class_names": [
+            "actinic keratoses",
+            "basal cell carcinoma",
+            "benign keratosis",
+            "dermatofibroma",
+            "melanoma",
+            "melanocytic nevi",
+            "vascular lesions",
+        ],
+        "splits": {"train": 7007, "val": 1003, "test": 2005},
+    },
+    "octmnist": {
+        "num_classes": 4,
+        "num_channels": 1,
+        "class_names": ["CNV", "DME", "DRUSEN", "NORMAL"],
+        "splits": {"train": 97477, "val": 10832, "test": 1000},
+    },
+    "organamnist": {
+        "num_classes": 11,
+        "num_channels": 1,
+        "class_names": [
+            "bladder",
+            "femur-left",
+            "femur-right",
+            "heart",
+            "kidney-left",
+            "kidney-right",
+            "liver",
+            "lung-left",
+            "lung-right",
+            "spleen",
+            "pancreas",
+        ],
+        "splits": {"train": 34561, "val": 6491, "test": 17778},
+    },
+}
+
+
+def _stratified_indices(
+    labels: np.ndarray, sample_ratio: float, rng: np.random.RandomState
+) -> np.ndarray:
+    """Subsample preserving class ratios (reference: medmnist.py:247-268)."""
+    indices: list[np.ndarray] = []
+    for cls in np.unique(labels):
+        cls_idx = np.flatnonzero(labels == cls)
+        n_keep = max(1, int(len(cls_idx) * sample_ratio))
+        indices.append(rng.choice(cls_idx, size=n_keep, replace=False))
+    out = np.concatenate(indices)
+    rng.shuffle(out)
+    return out
+
+
+def _surrogate_split(
+    name: str, split: str, n: int, image_size: int, seed: int
+) -> ArraySplit:
+    """Deterministic class-conditional texture surrogate for missing data.
+
+    Each class gets a fixed set of spatial frequency components plus noise, so
+    a classifier can learn it (useful for pipeline smoke tests) and the data
+    statistics are stable across runs.
+    """
+    info = MEDMNIST_INFO[name]
+    c, k = info["num_channels"], info["num_classes"]
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, k, size=n)
+
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
+    # Per-class basis: 3 random plane waves per channel.
+    class_rng = np.random.RandomState(1234)
+    waves = class_rng.uniform(1.0, 6.0, size=(k, c, 3, 2)).astype(np.float32)
+    phases = class_rng.uniform(0, 2 * np.pi, size=(k, c, 3)).astype(np.float32)
+
+    images = np.empty((n, image_size, image_size, c), dtype=np.uint8)
+    noise = rng.randn(n, image_size, image_size, c).astype(np.float32) * 0.25
+    for cls in range(k):
+        idx = np.flatnonzero(labels == cls)
+        if idx.size == 0:
+            continue
+        base = np.zeros((image_size, image_size, c), dtype=np.float32)
+        for ch in range(c):
+            for w in range(3):
+                fy, fx = waves[cls, ch, w]
+                base[:, :, ch] += np.sin(
+                    2 * np.pi * (fy * yy + fx * xx) + phases[cls, ch, w]
+                )
+        base = (base - base.min()) / (base.ptp() + 1e-6)
+        vals = np.clip(base[None] + noise[idx], 0.0, 1.0)
+        images[idx] = (vals * 255).astype(np.uint8)
+    return ArraySplit(images, labels)
+
+
+class MedMNISTDataset(BaseDataset):
+    """MedMNIST variant backed by npz files (or the surrogate fallback)."""
+
+    def __init__(self, config: "DatasetConfig", data_dir: Path) -> None:
+        super().__init__(config, data_dir)
+        name = str(config.name.value if hasattr(config.name, "value") else config.name)
+        if name not in MEDMNIST_INFO:
+            raise ValueError(
+                f"Unknown MedMNIST dataset '{name}'. Supported: {sorted(MEDMNIST_INFO)}"
+            )
+        self.name = name
+        meta = MEDMNIST_INFO[name]
+        self.num_classes = meta["num_classes"]
+        self.num_channels = meta["num_channels"]
+        self.image_size = config.image_size
+        self.surrogate = False
+
+        npz_path = self.data_dir / f"{name}.npz"
+        self._splits: dict[str, ArraySplit] = {}
+        if npz_path.exists():
+            with np.load(npz_path) as data:
+                for split in ("train", "val", "test"):
+                    images = np.asarray(data[f"{split}_images"])
+                    labels = np.asarray(data[f"{split}_labels"]).reshape(-1)
+                    if images.ndim == 3:
+                        images = images[..., None]
+                    self._splits[split] = ArraySplit(images, labels)
+        else:
+            self.surrogate = True
+            logger.warning(
+                "MedMNIST file %s not found — generating a DETERMINISTIC SURROGATE "
+                "dataset with matching shapes/classes. Results are not comparable "
+                "to real MedMNIST; obtain %s.npz (MedMNIST v2) and place it in %s.",
+                npz_path,
+                name,
+                self.data_dir,
+            )
+            for i, split in enumerate(("train", "val", "test")):
+                n = meta["splits"][split]
+                self._splits[split] = _surrogate_split(
+                    name, split, n, self.image_size, seed=1000 + i
+                )
+
+        # Stratified subsampling of the train split (val/test stay full).
+        if config.sample_ratio < 1.0:
+            rng = np.random.RandomState()  # depends on external set_seed, as reference
+            tr = self._splits["train"]
+            idx = _stratified_indices(tr.labels, config.sample_ratio, rng)
+            self._splits["train"] = ArraySplit(tr.images[idx], tr.labels[idx])
+
+        self._info = DatasetInfo(
+            name=name,
+            num_classes=self.num_classes,
+            num_channels=self.num_channels,
+            image_size=(self.image_size, self.image_size),
+            train_size=len(self._splits["train"]),
+            val_size=len(self._splits["val"]),
+            test_size=len(self._splits["test"]),
+            class_names=meta["class_names"],
+            class_counts={
+                s: sp.class_counts(self.num_classes) for s, sp in self._splits.items()
+            },
+        )
+
+    def get_train_split(self) -> ArraySplit:
+        return self._splits["train"]
+
+    def get_val_split(self) -> ArraySplit:
+        return self._splits["val"]
+
+    def get_test_split(self) -> ArraySplit:
+        return self._splits["test"]
+
+    def get_info(self) -> DatasetInfo:
+        return self._info
+
+
+def download_medmnist(name: str, data_dir: Path) -> Path:
+    """Download helper (reference: medmnist.py:287).
+
+    This environment has no egress; the function checks for a local file and
+    raises with instructions otherwise.
+    """
+    path = Path(data_dir) / f"{name}.npz"
+    if path.exists():
+        return path
+    raise RuntimeError(
+        f"No network access available to download {name}. Place the MedMNIST v2 "
+        f"file at {path} (from https://medmnist.com / zenodo)."
+    )

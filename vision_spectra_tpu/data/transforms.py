@@ -1,0 +1,220 @@
+"""Device-side image transforms (augmentation + normalization) under jit.
+
+TPU-native replacement for the reference's torchvision pipeline (reference:
+vision_spectra/data/transforms.py:10-141). The host hands the chip raw uint8
+NHWC batches; everything below runs inside the jitted train step:
+
+- train: random horizontal flip (p=0.5), rotation ±15°, translate ±10%,
+  scale 0.9–1.1 — composed into a **single** affine warp with one bilinear
+  resample (the reference resamples twice: rotation then affine) — plus
+  brightness/contrast jitter ±0.2 and saturation jitter ±0.1 (RGB only),
+  then normalization.
+- eval: normalization only.
+- mim: flip + normalization (light augmentation preserving spatial structure).
+
+Normalization matches the reference: ImageNet stats for 3-channel inputs,
+mean/std 0.5 for grayscale (transforms.py:48-53).
+
+All functions are pure ``(images, key) -> images`` and vectorized over the
+batch; no per-sample host work remains.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+GRAY_MEAN = np.array([0.5], dtype=np.float32)
+GRAY_STD = np.array([0.5], dtype=np.float32)
+
+ROTATION_DEGREES = 15.0
+TRANSLATE_FRAC = 0.1
+SCALE_RANGE = (0.9, 1.1)
+BRIGHTNESS = 0.2
+CONTRAST = 0.2
+SATURATION = 0.1
+
+
+def _stats(num_channels: int) -> tuple[np.ndarray, np.ndarray]:
+    if num_channels == 1:
+        return GRAY_MEAN, GRAY_STD
+    return IMAGENET_MEAN, IMAGENET_STD
+
+
+def normalize(images: jnp.ndarray, num_channels: int) -> jnp.ndarray:
+    """uint8/float [B,H,W,C] -> normalized float32."""
+    mean, std = _stats(num_channels)
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    return (x - mean) / std
+
+
+def denormalize(images: jnp.ndarray, num_channels: int = 3) -> jnp.ndarray:
+    """Inverse of :func:`normalize`, clipped to [0, 1]."""
+    mean, std = _stats(num_channels)
+    return jnp.clip(images * std + mean, 0.0, 1.0)
+
+
+def _affine_grid_sample(images: jnp.ndarray, inv_mats: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-warp a batch with per-sample 2x3 affines, bilinear, zero fill.
+
+    ``inv_mats`` maps output pixel coords (x, y, 1) to input coords.
+    """
+    b, h, w, c = images.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ones = jnp.ones_like(xs)
+    # [3, H*W] homogeneous output coordinates (x, y, 1).
+    coords = jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()]).astype(jnp.float32)
+    # [B, 2, H*W] input coordinates.
+    src = jnp.einsum("bij,jk->bik", inv_mats, coords)
+    sx, sy = src[:, 0], src[:, 1]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        flat = images.reshape(b, h * w, c).astype(jnp.float32)
+        vals = jnp.take_along_axis(flat, (yc * w + xc)[..., None], axis=1)
+        return vals * valid[..., None]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    out = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    return out.reshape(b, h, w, c)
+
+
+def _random_affine_inverse(key: jax.Array, batch: int, h: int, w: int) -> jnp.ndarray:
+    """Per-sample inverse affine matrices for flip+rotate+translate+scale."""
+    k_flip, k_rot, k_tx, k_ty, k_scale = jax.random.split(key, 5)
+    flip = jax.random.bernoulli(k_flip, 0.5, (batch,))
+    theta = jax.random.uniform(
+        k_rot, (batch,), minval=-ROTATION_DEGREES, maxval=ROTATION_DEGREES
+    ) * (jnp.pi / 180.0)
+    tx = jax.random.uniform(k_tx, (batch,), minval=-TRANSLATE_FRAC, maxval=TRANSLATE_FRAC) * w
+    ty = jax.random.uniform(k_ty, (batch,), minval=-TRANSLATE_FRAC, maxval=TRANSLATE_FRAC) * h
+    scale = jax.random.uniform(
+        k_scale, (batch,), minval=SCALE_RANGE[0], maxval=SCALE_RANGE[1]
+    )
+
+    cx = (w - 1) / 2.0
+    cy = (h - 1) / 2.0
+    dx0 = -cx - tx
+    dy0 = -cy - ty
+    # Inverse of [scale·R(θ) about center, then translate t]:
+    #   src = R(-θ)/s · (dst - c - t) + c
+    # For forward R(θ) = [cos, -sin; sin, cos], the inverse rotation rows are
+    # [cos, sin; -sin, cos] (scaled by 1/s).
+    r00 = jnp.cos(theta) / scale
+    r01 = jnp.sin(theta) / scale
+    r10, r11 = -r01, r00
+    t0 = r00 * dx0 + r01 * dy0 + cx
+    t1 = r10 * dx0 + r11 * dy0 + cy
+    # Horizontal flip composed in source space: x -> (w-1) - x.
+    f00 = jnp.where(flip, -r00, r00)
+    f01 = jnp.where(flip, -r01, r01)
+    ft0 = jnp.where(flip, (w - 1) - t0, t0)
+    return jnp.stack(
+        [
+            jnp.stack([f00, f01, ft0], axis=-1),
+            jnp.stack([r10, r11, t1], axis=-1),
+        ],
+        axis=1,
+    )
+
+
+def _color_jitter(key: jax.Array, x: jnp.ndarray, num_channels: int) -> jnp.ndarray:
+    """Brightness/contrast(/saturation) jitter on [0,1] floats.
+
+    torchvision semantics: factor ~ U[1-j, 1+j]; brightness scales pixels,
+    contrast blends with the mean grayscale value, saturation blends with the
+    per-pixel grayscale (RGB only). Applied in fixed order (the reference
+    shuffles order per sample; statistically equivalent for these strengths).
+    """
+    b = x.shape[0]
+    k_b, k_c, k_s = jax.random.split(key, 3)
+    fb = jax.random.uniform(k_b, (b, 1, 1, 1), minval=1 - BRIGHTNESS, maxval=1 + BRIGHTNESS)
+    fc = jax.random.uniform(k_c, (b, 1, 1, 1), minval=1 - CONTRAST, maxval=1 + CONTRAST)
+
+    x = jnp.clip(x * fb, 0.0, 1.0)
+    if num_channels == 3:
+        gray = (
+            0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+        )
+        mean_gray = jnp.mean(gray, axis=(1, 2, 3), keepdims=True)
+        x = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
+        fs = jax.random.uniform(
+            k_s, (b, 1, 1, 1), minval=1 - SATURATION, maxval=1 + SATURATION
+        )
+        x = jnp.clip((x - gray) * fs + gray, 0.0, 1.0)
+    else:
+        mean_gray = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        x = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("num_channels",))
+def train_augment(
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
+) -> jnp.ndarray:
+    """Full train-time augmentation: warp + color jitter + normalize."""
+    b, h, w, _ = images.shape
+    k_affine, k_color = jax.random.split(key)
+    x = images.astype(jnp.float32) / 255.0
+    inv = _random_affine_inverse(k_affine, b, h, w)
+    x = _affine_grid_sample(x, inv)
+    x = _color_jitter(k_color, x, num_channels)
+    mean, std = _stats(num_channels)
+    return (x - mean) / std
+
+
+@functools.partial(jax.jit, static_argnames=("num_channels",))
+def mim_augment(
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
+) -> jnp.ndarray:
+    """MIM augmentation: horizontal flip only + normalize (transforms.py:85)."""
+    b = images.shape[0]
+    flip = jax.random.bernoulli(key, 0.5, (b, 1, 1, 1))
+    x = images.astype(jnp.float32) / 255.0
+    x = jnp.where(flip, x[:, :, ::-1, :], x)
+    mean, std = _stats(num_channels)
+    return (x - mean) / std
+
+
+@functools.partial(jax.jit, static_argnames=("num_channels",))
+def eval_transform(images: jnp.ndarray, num_channels: int = 3) -> jnp.ndarray:
+    """Eval: normalization only."""
+    return normalize(images, num_channels)
+
+
+def make_augment_fn(
+    num_channels: int, mode: str = "train"
+) -> Callable[[jnp.ndarray, jax.Array], jnp.ndarray]:
+    """Factory returning the right (images, key) -> images function."""
+    if mode == "train":
+        return functools.partial(train_augment, num_channels=num_channels)
+    if mode == "mim":
+        return functools.partial(mim_augment, num_channels=num_channels)
+    if mode == "eval":
+        return lambda images, key=None: eval_transform(images, num_channels=num_channels)
+    raise ValueError(f"unknown transform mode: {mode}")
