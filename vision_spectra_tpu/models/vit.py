@@ -1,0 +1,455 @@
+"""Flax Vision Transformer with expressivity control.
+
+TPU-first rebuild of the reference's timm-backed ViT (reference:
+vision_spectra/models/vit.py:21-228). Architectural semantics match timm's
+``vit_*_patch16_224`` family at small image sizes:
+
+- patch embedding with stride-p conv semantics: the image is cropped to a
+  multiple of the patch size and embedded via reshape + matmul (one MXU op,
+  mathematically identical to the conv and exposes the kernel as the 2-D
+  ``patch_embed`` matrix the spectral layer analyzes),
+- learnable CLS token + learnable absolute position embeddings,
+- pre-LN transformer blocks with **fused QKV** (one [E, 3E] kernel — split
+  into Q/K/V by the spectral extraction layer, mirroring timm's fused
+  ``qkv.weight``), GELU MLP at ratio 4, stochastic depth linearly ramped
+  across blocks (timm's drop-path schedule),
+- timm-style init: truncated-normal(0.02) linear kernels / cls / pos-embed,
+  zero biases, unit LayerNorm.
+
+Expressivity knobs (embed_dim / depth / num_heads overrides, auto heads =
+max(1, embed_dim // 32)) reproduce the scenario grid's model surgery
+(reference: models/vit.py:66-74, experiments/run_spectral_analysis.py:263-275).
+
+Inputs are NHWC float (already normalized by the data layer). ``dtype``
+selects the compute dtype (bfloat16 under mixed precision); parameters are
+always float32.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_spectra_tpu.ops.attention import attention_probs, mha
+
+# Variant table for timm-style model names.
+VIT_VARIANTS: dict[str, dict[str, int]] = {
+    "tiny": {"embed_dim": 192, "depth": 12, "num_heads": 3},
+    "small": {"embed_dim": 384, "depth": 12, "num_heads": 6},
+    "base": {"embed_dim": 768, "depth": 12, "num_heads": 12},
+}
+
+SMALL_IMAGE_MODELS = [
+    "vit_tiny_patch16_224",
+    "vit_small_patch16_224",
+    "vit_base_patch16_224",
+    "deit_tiny_patch16_224",
+    "deit_small_patch16_224",
+]
+
+
+def get_available_models() -> list[str]:
+    return SMALL_IMAGE_MODELS
+
+
+def parse_model_name(name: str) -> dict[str, int]:
+    """Resolve a timm-style name to architecture hyperparameters.
+
+    e.g. ``vit_tiny_patch16_224`` → embed 192 / depth 12 / heads 3 / patch 16.
+    """
+    m = re.search(r"(tiny|small|base)", name)
+    variant = VIT_VARIANTS[m.group(1)] if m else VIT_VARIANTS["tiny"]
+    p = re.search(r"patch(\d+)", name)
+    patch = int(p.group(1)) if p else 16
+    return {**variant, "patch_size": patch}
+
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class PatchEmbed(nn.Module):
+    """Patchify + linear embed as a single MXU matmul.
+
+    Equivalent to Conv(stride=p, kernel=p): the image is cropped to
+    ``floor(H/p)·p`` (matching conv's implicit crop at img 28 / patch 16) and
+    patches are flattened [p, p, C] → one matmul onto the embed dim. The
+    kernel lives directly at ``patch_embed/kernel`` so the spectral extraction
+    layer sees the 2-D embedding matrix without conv-flattening.
+    """
+
+    embed_dim: int
+    patch_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        x = x[:, : gh * p, : gw * p, :]
+        x = x.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        kernel = self.param(
+            "kernel", trunc_normal_init, (p * p * c, self.embed_dim), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused QKV projection."""
+
+    embed_dim: int
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, return_probs: bool = False
+    ):
+        b, n, e = x.shape
+        h = self.num_heads
+        d = e // h
+        qkv = nn.Dense(
+            3 * e,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)  # [3, B, H, N, D]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        probs = attention_probs(q, k) if return_probs else None
+
+        dropout_rng = (
+            self.make_rng("dropout")
+            if (self.attn_drop > 0.0 and not deterministic)
+            else None
+        )
+        out = mha(
+            q,
+            k,
+            v,
+            dropout_rate=self.attn_drop,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+            use_flash=self.use_flash,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, e)
+        out = nn.Dense(
+            e,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj",
+        )(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return (out, probs) if return_probs else out
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 → GELU → fc2 (timm naming for extraction)."""
+
+    embed_dim: int
+    hidden_dim: int
+    drop: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Dense(
+            self.hidden_dim,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.embed_dim,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc2",
+        )(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the residual branch per sample."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return x * mask / keep
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block."""
+
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, return_probs: bool = False
+    ):
+        attn = Attention(
+            self.embed_dim,
+            self.num_heads,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            name="attn",
+        )
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if return_probs:
+            y, probs = attn(y, deterministic=deterministic, return_probs=True)
+        else:
+            y = attn(y, deterministic=deterministic)
+            probs = None
+        x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            self.embed_dim,
+            int(self.embed_dim * self.mlp_ratio),
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path)(y, deterministic=deterministic)
+        return (x, probs) if return_probs else x
+
+
+class ViTClassifier(nn.Module):
+    """ViT encoder + classification head.
+
+    Mirrors the reference's public surface (forward / forward_features /
+    get_patch_embeddings / get_attention_weights — models/vit.py:97-174) via
+    the ``method`` argument of ``Module.apply``.
+    """
+
+    num_classes: int
+    image_size: int = 28
+    num_channels: int = 3
+    patch_size: int = 16
+    embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+    def setup(self) -> None:
+        self.patch_embed = PatchEmbed(
+            self.embed_dim, self.patch_size, dtype=self.dtype, name="patch_embed"
+        )
+        self.cls_token = self.param(
+            "cls_token", trunc_normal_init, (1, 1, self.embed_dim), jnp.float32
+        )
+        self.pos_embed = self.param(
+            "pos_embed",
+            trunc_normal_init,
+            (1, self.num_patches + 1, self.embed_dim),
+            jnp.float32,
+        )
+        # timm's drop-path schedule: linear ramp 0 → drop_path_rate.
+        dp_rates = [
+            self.drop_path_rate * i / max(1, self.depth - 1)
+            for i in range(self.depth)
+        ]
+        self.blocks = [
+            Block(
+                self.embed_dim,
+                self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=dp_rates[i],
+                dtype=self.dtype,
+                use_flash=self.use_flash,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm_out")
+        self.head = nn.Dense(
+            self.num_classes,
+            kernel_init=trunc_normal_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="head",
+        )
+        self.pos_drop = nn.Dropout(self.drop_rate)
+
+    def embed(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """Patchify, prepend CLS, add position embeddings."""
+        x = self.patch_embed(x)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(
+            self.cls_token.astype(x.dtype), (b, 1, self.embed_dim)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(x.dtype)
+        return self.pos_drop(x, deterministic=deterministic)
+
+    def encode(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """Token sequence → token sequence through all blocks + final norm."""
+        for blk in self.blocks:
+            x = blk(x, deterministic=deterministic)
+        return self.norm(x)
+
+    def forward_features(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Images → normalized token sequence [B, N+1, E]."""
+        return self.encode(self.embed(x, deterministic), deterministic)
+
+    def get_patch_embeddings(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Patch tokens before CLS/pos (reference: vit.py:121-131)."""
+        return self.patch_embed(x)
+
+    def get_attention_weights(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        """Per-block softmax attention maps (reference: vit.py:133-174)."""
+        x = self.embed(x, deterministic=True)
+        maps = []
+        for blk in self.blocks:
+            x, probs = blk(x, deterministic=True, return_probs=True)
+            maps.append(probs)
+        return maps
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """Images [B, H, W, C] → logits [B, num_classes] (CLS pooling)."""
+        tokens = self.forward_features(x, deterministic)
+        return self.head(tokens[:, 0]).astype(jnp.float32)
+
+
+@dataclass
+class ViTDescription:
+    """Introspection mirror of the reference wrapper attributes (vit.py:80-95)."""
+
+    model_name: str
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int
+    num_classes: int
+    image_size: int
+
+
+def build_vit(
+    model_name: str = "vit_tiny_patch16_224",
+    num_classes: int = 10,
+    num_channels: int = 3,
+    image_size: int = 28,
+    drop_rate: float = 0.0,
+    attn_drop_rate: float = 0.0,
+    drop_path_rate: float = 0.1,
+    embed_dim: int | None = None,
+    depth: int | None = None,
+    num_heads: int | None = None,
+    dtype: Any = jnp.float32,
+    use_flash: bool = False,
+) -> tuple[ViTClassifier, ViTDescription]:
+    """Construct a ViT with reference-compatible expressivity overrides.
+
+    Auto heads = max(1, embed_dim // 32) when embed_dim is overridden without
+    an explicit num_heads (reference: models/vit.py:72-74).
+    """
+    arch = parse_model_name(model_name)
+    if embed_dim is not None:
+        arch["embed_dim"] = embed_dim
+        if num_heads is None:
+            arch["num_heads"] = max(1, embed_dim // 32)
+    if depth is not None:
+        arch["depth"] = depth
+    if num_heads is not None:
+        arch["num_heads"] = num_heads
+
+    model = ViTClassifier(
+        num_classes=num_classes,
+        image_size=image_size,
+        num_channels=num_channels,
+        patch_size=arch["patch_size"],
+        embed_dim=arch["embed_dim"],
+        depth=arch["depth"],
+        num_heads=arch["num_heads"],
+        drop_rate=drop_rate,
+        attn_drop_rate=attn_drop_rate,
+        drop_path_rate=drop_path_rate,
+        dtype=dtype,
+        use_flash=use_flash,
+    )
+    desc = ViTDescription(
+        model_name=model_name,
+        embed_dim=arch["embed_dim"],
+        depth=arch["depth"],
+        num_heads=arch["num_heads"],
+        patch_size=arch["patch_size"],
+        num_classes=num_classes,
+        image_size=image_size,
+    )
+    return model, desc
+
+
+def create_vit_classifier(
+    config,
+    num_classes: int,
+    num_channels: int = 3,
+    image_size: int = 28,
+    embed_dim: int | None = None,
+    depth: int | None = None,
+    num_heads: int | None = None,
+    dtype: Any = jnp.float32,
+) -> tuple[ViTClassifier, ViTDescription]:
+    """Create a ViT from a ModelConfig (reference: models/vit.py:177-213)."""
+    return build_vit(
+        model_name=config.name,
+        num_classes=num_classes,
+        num_channels=num_channels,
+        image_size=image_size,
+        drop_rate=config.drop_rate,
+        attn_drop_rate=config.attn_drop_rate,
+        drop_path_rate=config.drop_path_rate,
+        embed_dim=embed_dim if embed_dim is not None else config.embed_dim,
+        depth=depth if depth is not None else config.depth,
+        num_heads=num_heads if num_heads is not None else config.num_heads,
+        dtype=dtype,
+    )

@@ -1,0 +1,61 @@
+"""Multi-head attention ops.
+
+Two execution paths:
+
+- **XLA path** (default): plain einsum softmax einsum. For the sequence
+  lengths this framework trains at (2–197 tokens) XLA fuses this into a
+  handful of MXU ops and nothing faster exists.
+- **Pallas flash path** (``use_flash=True``): blockwise streaming-softmax
+  kernel (ops/flash_attention.py) that never materializes the [N, N] score
+  matrix. Wired in for long-sequence capability per the design requirement;
+  becomes profitable around N ≳ 1k.
+
+The reference computes attention inside timm / nn.MultiheadAttention
+(reference: vision_spectra/models/vit.py:160-168, models/mim.py:153).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    deterministic: bool = True,
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, H, N, D] tensors.
+
+    Returns [B, H, N, D]. Softmax is computed in float32 regardless of input
+    dtype (bf16-safe), output is cast back to the input dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if use_flash and deterministic and q.shape[-2] >= 256:
+        from vision_spectra_tpu.ops.flash_attention import flash_mha
+
+        return flash_mha(q, k, v, scale=scale)
+
+    dtype = q.dtype
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v)
+
+
+def attention_probs(q: jnp.ndarray, k: jnp.ndarray, scale: float | None = None) -> jnp.ndarray:
+    """Softmax attention maps [B, H, N, N] (for visualization/introspection)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    return jax.nn.softmax(scores, axis=-1)
