@@ -1,0 +1,108 @@
+"""Tracking store tests: fluent API + file-store layout + read-back."""
+
+import numpy as np
+import pytest
+
+from vision_spectra_tpu import tracking
+
+
+@pytest.fixture(autouse=True)
+def _isolated_uri(tmp_path):
+    tracking.set_tracking_uri(tmp_path / "mlruns")
+    yield
+    tracking._state["run"] = None
+
+
+class TestFluent:
+    def test_run_lifecycle(self, tmp_path):
+        tracking.set_experiment("exp1")
+        with tracking.start_run(run_name="r1") as info:
+            assert info.status == "RUNNING"
+            tracking.log_param("lr", 1e-4)
+            tracking.log_params({"a.b": 1, "a.c": "x"})
+            for step in range(3):
+                tracking.log_metric("train/loss", 1.0 / (step + 1), step=step)
+            tracking.log_metrics({"val/acc": 0.9, "skipme": float("nan")}, step=0)
+        run = tracking.MlflowClient().get_run(info.run_id)
+        assert run.info.status == "FINISHED"
+        assert run.params["lr"] == "0.0001"
+        assert run.params["a.b"] == "1"
+        assert run.metrics["train/loss"] == pytest.approx(1 / 3)
+        assert "skipme" not in run.metrics
+
+    def test_failed_run_marked(self):
+        tracking.set_experiment("exp1")
+        with pytest.raises(RuntimeError):
+            with tracking.start_run() as info:
+                raise RuntimeError("boom")
+        run = tracking.MlflowClient().get_run(info.run_id)
+        assert run.info.status == "FAILED"
+
+    def test_metric_history_order(self):
+        tracking.set_experiment("exp2")
+        with tracking.start_run() as info:
+            for step in [0, 5, 10]:
+                tracking.log_metric("spectral/alpha_exponent_mean", step * 0.1, step=step)
+        hist = tracking.MlflowClient().get_metric_history(
+            info.run_id, "spectral/alpha_exponent_mean"
+        )
+        assert [m.step for m in hist] == [0, 5, 10]
+        assert hist[-1].value == pytest.approx(1.0)
+
+    def test_artifacts(self, tmp_path):
+        tracking.set_experiment("exp3")
+        src = tmp_path / "plot.txt"
+        src.write_text("hello")
+        with tracking.start_run() as info:
+            tracking.log_artifact(src, artifact_path="spectral/plots")
+            tracking.log_dict({"x": 1}, "spectral/json/epoch_0000.json")
+        store = tracking.FileStore(tracking.get_tracking_uri())
+        art = store.artifact_dir(info)
+        assert (art / "spectral/plots/plot.txt").read_text() == "hello"
+        assert (art / "spectral/json/epoch_0000.json").exists()
+
+    def test_search_runs(self):
+        tracking.set_experiment("scan")
+        with tracking.start_run(run_name="seed_42"):
+            tracking.log_metric("val/accuracy", 0.8, step=0)
+            tracking.log_param("seed", 42)
+        with tracking.start_run(run_name="seed_43"):
+            tracking.log_metric("val/accuracy", 0.9, step=0)
+        df = tracking.search_runs(experiment_names=["scan"])
+        assert len(df) == 2
+        assert set(df["metrics.val/accuracy"]) == {0.8, 0.9}
+        df2 = tracking.search_runs(
+            experiment_names=["scan"],
+            filter_string="attributes.status = 'FINISHED'",
+        )
+        assert len(df2) == 2
+
+    def test_experiment_ids_increment(self):
+        e0 = tracking.set_experiment("a")
+        e1 = tracking.set_experiment("b")
+        ea = tracking.set_experiment("a")
+        assert e0.experiment_id != e1.experiment_id
+        assert ea.experiment_id == e0.experiment_id
+
+
+class TestStoreLayout:
+    def test_mlflow_file_format(self, tmp_path):
+        """Metric files use the 'ts value step' line format mlflow reads."""
+        tracking.set_experiment("layout")
+        with tracking.start_run() as info:
+            tracking.log_metric("m", 0.5, step=7)
+        store = tracking.FileStore(tracking.get_tracking_uri())
+        exp = store.get_experiment_by_name("layout")
+        f = store.root / exp.experiment_id / info.run_id / "metrics" / "m"
+        parts = f.read_text().split()
+        assert len(parts) == 3
+        assert float(parts[1]) == 0.5
+        assert int(parts[2]) == 7
+
+    def test_invalid_keys_rejected(self):
+        tracking.set_experiment("bad")
+        with tracking.start_run():
+            with pytest.raises(ValueError):
+                tracking.log_param("../escape", 1)
+            with pytest.raises(ValueError):
+                tracking.log_metric("a|b", 1.0)

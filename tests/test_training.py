@@ -1,0 +1,326 @@
+"""Training tests: model shapes, smoke trainings, checkpoints, determinism.
+
+Mirrors reference tests/test_training.py plus schedule/metric unit tests.
+"""
+
+import numpy as np
+import pytest
+
+from vision_spectra_tpu.config import (
+    DatasetConfig,
+    DatasetName,
+    ExperimentConfig,
+    ModelConfig,
+    OptimizerConfig,
+    SchedulerName,
+    SpectralConfig,
+    TrainingConfig,
+)
+from vision_spectra_tpu.data import get_dataset
+from vision_spectra_tpu.losses import get_loss
+from vision_spectra_tpu.models import MIMModel, MultitaskViT, build_vit
+
+
+def _tiny_config(tmp_path, name="test_exp", **overrides):
+    cfg = ExperimentConfig(
+        name=name,
+        seed=42,
+        dataset=DatasetConfig(
+            name=DatasetName.SYNTHETIC,
+            batch_size=8,
+            num_classes=3,
+            num_samples_train=32,
+            num_samples_val=16,
+            num_samples_test=16,
+        ),
+        model=ModelConfig(
+            name="vit_tiny_patch4_28", embed_dim=32, depth=1,
+            decoder_embed_dim=32, decoder_depth=1, drop_path_rate=0.0,
+        ),
+        training=TrainingConfig(epochs=1, smoke_test=True),
+        optimizer=OptimizerConfig(warmup_epochs=1),
+        spectral=SpectralConfig(enabled=False),
+        output_dir=tmp_path / "mlruns",
+        data_dir=tmp_path / "data",
+    )
+    return cfg.model_copy(update=overrides)
+
+
+def _build_encoder(cfg, info):
+    model, _ = build_vit(
+        cfg.model.name,
+        num_classes=info.num_classes,
+        num_channels=info.num_channels,
+        image_size=info.image_size[0],
+        embed_dim=cfg.model.embed_dim,
+        depth=cfg.model.depth,
+        drop_path_rate=cfg.model.drop_path_rate,
+    )
+    return model
+
+
+class TestModelShapes:
+    def test_vit_forward(self):
+        import jax
+        import jax.numpy as jnp
+
+        model, _ = build_vit("vit_tiny_patch16_224", num_classes=5, image_size=32,
+                             embed_dim=32, depth=1)
+        x = jnp.zeros((4, 32, 32, 3))
+        v = model.init(jax.random.key(0), x)
+        out = model.apply(v, x)
+        assert out.shape == (4, 5)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_mim_forward(self):
+        import jax
+        import jax.numpy as jnp
+
+        enc, _ = build_vit("vit_tiny_patch4_28", num_classes=3, image_size=28,
+                           embed_dim=32, depth=1, drop_path_rate=0.0)
+        mim = MIMModel(encoder=enc, decoder_embed_dim=32, decoder_depth=1)
+        x = jnp.asarray(np.random.RandomState(0).rand(4, 28, 28, 3), jnp.float32)
+        v = mim.init({"params": jax.random.key(0), "mask": jax.random.key(1)}, x)
+        loss, pred, mask = mim.apply(v, x, rngs={"mask": jax.random.key(2)})
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        assert mask.shape[0] == 4
+        assert pred.shape == (4, 49, 48)
+
+    def test_multitask_modes(self):
+        import jax
+        import jax.numpy as jnp
+
+        enc, _ = build_vit("vit_tiny_patch4_28", num_classes=3, image_size=28,
+                           embed_dim=32, depth=1, drop_path_rate=0.0)
+        mtl = MultitaskViT(encoder=enc, decoder_embed_dim=32, decoder_depth=1)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 28, 28, 3), jnp.float32)
+        v = mtl.init({"params": jax.random.key(0), "mask": jax.random.key(1)}, x)
+        logits = mtl.apply(v, x, mode="classification")
+        assert logits.shape == (2, 3)
+        loss, pred, mask = mtl.apply(v, x, mode="mim", rngs={"mask": jax.random.key(2)})
+        assert np.isfinite(float(loss))
+        logits, mloss, pred, mask = mtl.apply(
+            v, x, mode="multitask", rngs={"mask": jax.random.key(3)}
+        )
+        assert logits.shape == (2, 3) and np.isfinite(float(mloss))
+
+    def test_seed_determinism(self):
+        """Same seed → identical init weights (reference :354-371)."""
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.zeros((1, 28, 28, 3))
+        model, _ = build_vit("vit_tiny_patch4_28", num_classes=3, embed_dim=32, depth=1)
+        v1 = model.init(jax.random.key(7), x)
+        v2 = model.init(jax.random.key(7), x)
+        for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSmokeTrainings:
+    def test_classification(self, tmp_path):
+        from vision_spectra_tpu.training import ClassificationTrainer
+
+        cfg = _tiny_config(tmp_path)
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        model = _build_encoder(cfg, ds.get_info())
+        trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+        hist = trainer.train()
+        for key in ("loss", "accuracy", "val_loss", "val_accuracy", "val_f1_macro"):
+            assert key in hist
+        assert hist["loss"] > 0
+        trainer.cleanup()
+
+    def test_mim(self, tmp_path):
+        from vision_spectra_tpu.training import MIMTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_mim")
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        enc = _build_encoder(cfg, ds.get_info())
+        mim = MIMModel(encoder=enc, decoder_embed_dim=32, decoder_depth=1)
+        trainer = MIMTrainer(cfg, mim, ds)
+        hist = trainer.train()
+        assert hist["loss"] > 0 and "val_loss" in hist
+        trainer.cleanup()
+
+    def test_multitask(self, tmp_path):
+        from vision_spectra_tpu.training import MultitaskTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_mtl")
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        enc = _build_encoder(cfg, ds.get_info())
+        mtl = MultitaskViT(encoder=enc, decoder_embed_dim=32, decoder_depth=1)
+        trainer = MultitaskTrainer(cfg, mtl, ds, get_loss(cfg.loss))
+        hist = trainer.train()
+        for key in ("loss", "cls_loss", "mim_loss", "accuracy"):
+            assert key in hist
+        trainer.cleanup()
+
+    def test_spectral_logging_in_training(self, tmp_path):
+        from vision_spectra_tpu import tracking
+        from vision_spectra_tpu.training import ClassificationTrainer
+
+        cfg = _tiny_config(
+            tmp_path,
+            name="test_spectral",
+            spectral=SpectralConfig(enabled=True, layers=["blocks.0"]),
+        )
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        model = _build_encoder(cfg, ds.get_info())
+        trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+        trainer.train()
+        tracking.set_tracking_uri(cfg.output_dir)
+        df = tracking.search_runs(experiment_names=["test_spectral"])
+        run_id = df.iloc[0]["run_id"]
+        hist = tracking.MlflowClient().get_metric_history(
+            run_id, "spectral/alpha_exponent_mean"
+        )
+        # epoch-0 pre-training snapshot + epoch-1 snapshot
+        assert [m.step for m in hist] == [0, 1]
+        trainer.cleanup()
+
+
+class TestCheckpointRoundtrip:
+    def test_save_load_reproduces_outputs(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from vision_spectra_tpu.training import ClassificationTrainer
+        from vision_spectra_tpu.utils.checkpointing import load_checkpoint, save_checkpoint
+
+        cfg = _tiny_config(tmp_path, name="test_ckpt")
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        model = _build_encoder(cfg, ds.get_info())
+        trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+        trainer.train()
+
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 28, 28, 3), jnp.float32)
+        before = np.asarray(model.apply({"params": trainer.state.params}, x))
+
+        path = tmp_path / "ckpt.msgpack"
+        save_checkpoint(path, trainer.state, epoch=1, config=cfg)
+        ckpt = load_checkpoint(path, state_template=trainer.state)
+        after = np.asarray(model.apply({"params": ckpt["state"].params}, x))
+        np.testing.assert_allclose(before, after, atol=1e-6)
+        assert ckpt["config"]["model"]["name"] == "vit_tiny_patch4_28"
+        trainer.cleanup()
+
+    def test_finetune_loads_encoder(self, tmp_path):
+        from vision_spectra_tpu.training import FinetuneTrainer, MIMTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_pretrain")
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        enc = _build_encoder(cfg, ds.get_info())
+        mim = MIMModel(encoder=enc, decoder_embed_dim=32, decoder_depth=1)
+        pre = MIMTrainer(cfg, mim, ds)
+        pre.train()
+        ckpt_path = pre.temp_dir / "best.msgpack"
+        assert ckpt_path.exists()
+
+        cfg2 = _tiny_config(tmp_path, name="test_ft")
+        model2 = _build_encoder(cfg2, ds.get_info())
+        ft = FinetuneTrainer(
+            cfg2, model2, ds, get_loss(cfg2.loss),
+            pretrained_checkpoint=ckpt_path, encoder_lr_scale=0.1,
+        )
+        # patch_embed kernel must equal the pretrained encoder's
+        pretrained_pe = np.asarray(pre.state.params["encoder"]["patch_embed"]["kernel"])
+        loaded_pe = np.asarray(ft.state.params["patch_embed"]["kernel"])
+        np.testing.assert_array_equal(pretrained_pe, loaded_pe)
+        pre.cleanup()
+        ft.cleanup()
+
+    def test_freeze_encoder_trains_head_only(self, tmp_path):
+        from vision_spectra_tpu.training import FinetuneTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_freeze")
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        model = _build_encoder(cfg, ds.get_info())
+        ft = FinetuneTrainer(cfg, model, ds, get_loss(cfg.loss), freeze_encoder=True)
+        before_pe = np.asarray(ft.state.params["patch_embed"]["kernel"]).copy()
+        before_head = np.asarray(ft.state.params["head"]["kernel"]).copy()
+        ft.train()
+        after_pe = np.asarray(ft.state.params["patch_embed"]["kernel"])
+        after_head = np.asarray(ft.state.params["head"]["kernel"])
+        np.testing.assert_array_equal(before_pe, after_pe)  # frozen
+        assert not np.array_equal(before_head, after_head)  # trained
+        ft.cleanup()
+
+
+class TestSchedules:
+    def _cfg(self, **kw):
+        defaults = dict(learning_rate=1e-3, warmup_epochs=2, min_lr=1e-6)
+        defaults.update(kw)
+        return OptimizerConfig(**defaults)
+
+    def test_linear_warmup(self):
+        from vision_spectra_tpu.training import LRSchedule
+
+        s = LRSchedule(self._cfg(), epochs=10, steps_per_epoch=10)
+        assert s.lr_for_step(0) == pytest.approx(1e-3 * 1 / 20)
+        assert s.lr_for_step(19) == pytest.approx(1e-3)
+        assert s.lr_for_step(20) == pytest.approx(1e-3)
+
+    def test_cosine_decays_to_min(self):
+        from vision_spectra_tpu.training import LRSchedule
+
+        s = LRSchedule(self._cfg(scheduler=SchedulerName.COSINE), epochs=10, steps_per_epoch=10)
+        for e in range(10):
+            s.step_epoch(e)
+        assert s.current_lr == pytest.approx(1e-6, abs=1e-9)
+
+    def test_step_scheduler(self):
+        from vision_spectra_tpu.training import LRSchedule
+
+        cfg = self._cfg(scheduler=SchedulerName.STEP, step_size=3, gamma=0.1, warmup_epochs=0)
+        s = LRSchedule(cfg, epochs=10, steps_per_epoch=10)
+        for e in range(3):
+            s.step_epoch(e)
+        assert s.current_lr == pytest.approx(1e-4)
+
+    def test_plateau(self):
+        from vision_spectra_tpu.training import LRSchedule
+
+        cfg = self._cfg(scheduler=SchedulerName.PLATEAU, plateau_patience=2)
+        s = LRSchedule(cfg, epochs=50, steps_per_epoch=10)
+        s.step_epoch(0, val_loss=1.0)
+        for e in range(1, 5):
+            s.step_epoch(e, val_loss=1.0)  # no improvement
+        assert s.current_lr == pytest.approx(1e-4)
+
+
+class TestEvalMetrics:
+    def test_confusion_and_f1(self):
+        import jax.numpy as jnp
+
+        from vision_spectra_tpu.training import (
+            accuracy_from_cm,
+            confusion_matrix_update,
+            macro_f1_from_cm,
+        )
+
+        cm = jnp.zeros((3, 3), jnp.float32)
+        preds = jnp.array([0, 1, 2, 2])
+        labels = jnp.array([0, 1, 1, 2])
+        mask = jnp.ones(4)
+        cm = np.asarray(confusion_matrix_update(cm, preds, labels, mask))
+        assert cm.sum() == 4
+        assert accuracy_from_cm(cm) == pytest.approx(0.75)
+        # per-class f1: c0=1.0, c1=2/3, c2=2/3
+        assert macro_f1_from_cm(cm) == pytest.approx((1 + 2 / 3 + 2 / 3) / 3)
+
+    def test_auroc_perfect_and_random(self):
+        from vision_spectra_tpu.training import macro_auroc
+
+        labels = np.array([0, 0, 1, 1])
+        probs = np.array([[0.9, 0.1], [0.8, 0.2], [0.1, 0.9], [0.2, 0.8]])
+        assert macro_auroc(probs, labels, 2) == pytest.approx(1.0)
+        probs_bad = 1 - probs
+        assert macro_auroc(probs_bad, labels, 2) == pytest.approx(0.0)
+
+    def test_auroc_ties(self):
+        from vision_spectra_tpu.training import macro_auroc
+
+        labels = np.array([0, 1])
+        probs = np.array([[0.5, 0.5], [0.5, 0.5]])
+        assert macro_auroc(probs, labels, 2) == pytest.approx(0.5)

@@ -1,0 +1,343 @@
+"""Base trainer: host epoch driver around jitted device steps.
+
+TPU-first redesign of the reference trainer hierarchy (reference:
+vision_spectra/training/base.py:41-673). The device work is two compiled
+programs — ``train_step(state, images, labels, key, lr)`` (donated state,
+augmentation + forward + backward + optimizer fused in one program) and
+``eval_step`` — built once by the regime subclass; the host loop owns
+everything stateful-but-cheap:
+
+- tracking lifecycle (params, per-epoch train/val/spectral metrics, lr),
+- the **epoch-0 pre-training spectral snapshot** (base.py:219-237) that makes
+  Δα well-defined downstream,
+- spectral cadence: first-5-epochs + every-N rule (base.py:355-377),
+- LR scheduling via a traced scalar (warmup / cosine / step / plateau —
+  see training/schedules.py),
+- best-checkpoint on min val loss + periodic epoch checkpoints + early
+  stopping + smoke-test break (base.py:277-313),
+- per-epoch spectral artifacts ``spectral/json/spectral_epoch_NNNN.json`` and
+  ``spectral/plots/epoch_NNNN/{layer}.png`` (base.py:453-567), final
+  ``spectral_history.json`` + distribution plots (base.py:315-346).
+
+Spectral snapshots ride the accelerator: weights are grouped by shape and
+SVD'd in batched jitted calls (spectral/tracker.py), so per-epoch logging
+costs milliseconds instead of the reference's per-matrix host LAPACK SVDs.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_spectra_tpu import tracking
+from vision_spectra_tpu.config import ExperimentConfig, SchedulerName
+from vision_spectra_tpu.data.base import BaseDataset
+from vision_spectra_tpu.spectral.metrics import METRIC_KEYS, aggregate_spectral_metrics
+from vision_spectra_tpu.spectral.tracker import SpectralTracker
+from vision_spectra_tpu.training.schedules import LRSchedule
+from vision_spectra_tpu.training.state import TrainState, make_optimizer
+from vision_spectra_tpu.utils.checkpointing import (
+    CHECKPOINT_SUFFIX,
+    load_checkpoint,
+    save_checkpoint,
+)
+from vision_spectra_tpu.utils.logging import logger
+from vision_spectra_tpu.utils.visualization import (
+    plot_singular_value_distribution,
+    save_spectral_distribution_plots,
+)
+
+SMOKE_TRAIN_BATCHES = 5
+SMOKE_VAL_BATCHES = 3
+
+
+class BaseTrainer:
+    """Shared training engine; regime subclasses provide the step functions."""
+
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        model: Any,
+        dataset: BaseDataset,
+        loss_fn: Any = None,
+        run_name: str | None = None,
+    ) -> None:
+        self.config = config
+        self.model = model
+        self.dataset = dataset
+        self.loss_fn = loss_fn
+        self.run_name = run_name or config.name
+
+        self.info = dataset.get_info()
+        self.train_loader = dataset.get_train_loader(seed=config.seed)
+        self.val_loader = dataset.get_val_loader()
+
+        self.epochs = config.training.epochs
+        self.smoke_test = config.training.smoke_test
+
+        self._base_key = jax.random.key(config.seed)
+        self.state = self._init_state()
+        self.schedule = LRSchedule(
+            config.optimizer, self.epochs, steps_per_epoch=len(self.train_loader)
+        )
+        self.lr_mult = None  # optional per-leaf LR multipliers (finetune)
+
+        self.spectral_tracker: SpectralTracker | None = None
+        if config.spectral.enabled:
+            sc = config.spectral
+            self.spectral_tracker = SpectralTracker(
+                layer_patterns=sc.layers,
+                include_qkv=sc.extract_qkv,
+                include_mlp=sc.extract_mlp,
+                include_patch_embed=sc.extract_patch_embed,
+                max_singular_values=sc.max_singular_values,
+                on_device=sc.on_device,
+            )
+
+        self.temp_dir = Path(tempfile.mkdtemp(prefix="vst_artifacts_"))
+        self.best_val_metric = float("inf")
+        self.best_epoch = -1
+        self.current_epoch = 0
+        self._build_step_fns()
+
+    # -- construction hooks --------------------------------------------------
+
+    def _init_rngs(self) -> dict[str, jax.Array]:
+        k1, k2 = jax.random.split(self._base_key)
+        return {"params": k1, "mask": k2}
+
+    def _init_state(self) -> TrainState:
+        sample = jnp.zeros(
+            (1, self.info.image_size[0], self.info.image_size[1], self.info.num_channels),
+            jnp.float32,
+        )
+        variables = self.model.init(self._init_rngs(), sample)
+        params = variables["params"]
+        self.tx = make_optimizer(
+            self.config.optimizer, self.config.training.gradient_clip
+        )
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        logger.info("Model initialized: %s parameters", f"{n_params:,}")
+        return TrainState.create(params, self.tx)
+
+    def _build_step_fns(self) -> None:
+        raise NotImplementedError
+
+    # -- per-epoch hooks (regime subclasses) ---------------------------------
+
+    def train_epoch(self, epoch: int) -> dict[str, float]:
+        raise NotImplementedError
+
+    def validate(self) -> dict[str, float]:
+        raise NotImplementedError
+
+    def _save_examples(self, epoch: int) -> None:
+        """Optional per-best-epoch artifact hook (prediction/MIM grids)."""
+
+    # -- keys ----------------------------------------------------------------
+
+    def step_key(self, global_step: int) -> jax.Array:
+        return jax.random.fold_in(self._base_key, global_step)
+
+    # -- main loop -----------------------------------------------------------
+
+    def train(self) -> dict[str, float]:
+        cfg = self.config
+        tracking.set_tracking_uri(cfg.output_dir)
+        tracking.set_experiment(cfg.name)
+
+        history: dict[str, float] = {}
+        start = time.time()
+        with tracking.start_run(run_name=self.run_name):
+            tracking.log_params(cfg.to_flat_dict())
+
+            # Pre-training (epoch 0) spectral snapshot — the Δα anchor.
+            self._log_spectral(epoch=0)
+
+            epochs_no_improve = 0
+            for epoch in range(1, self.epochs + 1):
+                self.current_epoch = epoch
+                t0 = time.time()
+                train_metrics = self.train_epoch(epoch)
+                val_metrics = self.validate()
+                dt = time.time() - t0
+
+                tracking.log_metrics(
+                    {f"train/{k}": v for k, v in train_metrics.items()}, step=epoch
+                )
+                tracking.log_metrics(
+                    {f"val/{k}": v for k, v in val_metrics.items()}, step=epoch
+                )
+                tracking.log_metric("lr", self.schedule.lr_for_step(
+                    int(self.state.step)), step=epoch)
+                tracking.log_metric("epoch_time", dt, step=epoch)
+
+                if self._should_log_spectral(epoch):
+                    self._log_spectral(epoch)
+
+                self.schedule.step_epoch(epoch - 1, val_loss=val_metrics.get("loss"))
+
+                val_loss = val_metrics.get("loss", float("inf"))
+                if val_loss < self.best_val_metric:
+                    self.best_val_metric = val_loss
+                    self.best_epoch = epoch
+                    epochs_no_improve = 0
+                    self._save_checkpoint("best", epoch, val_metrics)
+                    self._save_examples(epoch)
+                else:
+                    epochs_no_improve += 1
+
+                if epoch % cfg.training.save_every_n_epochs == 0:
+                    self._save_checkpoint(f"epoch_{epoch:04d}", epoch, val_metrics)
+
+                logger.info(
+                    "epoch %d/%d  train=%s  val=%s  (%.1fs)",
+                    epoch,
+                    self.epochs,
+                    {k: round(v, 4) for k, v in train_metrics.items()},
+                    {k: round(v, 4) for k, v in val_metrics.items()},
+                    dt,
+                )
+                history = {**train_metrics, **{f"val_{k}": v for k, v in val_metrics.items()}}
+
+                if (
+                    cfg.training.early_stopping
+                    and epochs_no_improve >= cfg.training.patience
+                ):
+                    logger.info("Early stopping at epoch %d", epoch)
+                    break
+                if self.smoke_test and epoch >= 1:
+                    logger.info("Smoke test: stopping after epoch %d", epoch)
+                    break
+
+            self._log_final_artifacts()
+            tracking.log_metric("training_time", time.time() - start)
+        return history
+
+    # -- spectral ------------------------------------------------------------
+
+    def _should_log_spectral(self, epoch: int) -> bool:
+        """First-5 + every-N cadence (reference: base.py:355-377)."""
+        sc = self.config.spectral
+        if not sc.enabled or self.spectral_tracker is None:
+            return False
+        if sc.log_first_epochs and epoch <= 5:
+            return True
+        return epoch % sc.log_every_n_epochs == 0
+
+    def _compute_spectral_metrics(self) -> dict[str, float]:
+        """Aggregate metrics overall and per matrix type (base.py:379-416)."""
+        snapshot = self.spectral_tracker.record_epoch(
+            self.state.params, self.current_epoch
+        )
+        metrics = dict(snapshot.aggregated_metrics)
+        by_type: dict[str, list[dict[str, float]]] = {}
+        for dist in snapshot.distributions:
+            by_type.setdefault(dist.matrix_type, []).append(dist.metrics)
+        for mtype, metric_list in by_type.items():
+            agg = aggregate_spectral_metrics(metric_list)
+            for key, value in agg.items():
+                metrics[f"{mtype}_{key}"] = value
+        return metrics
+
+    def _log_spectral(self, epoch: int) -> None:
+        if self.spectral_tracker is None:
+            return
+        self.current_epoch = epoch
+        t0 = time.time()
+        metrics = self._compute_spectral_metrics()
+        tracking.log_metrics(
+            {f"spectral/{k}": v for k, v in metrics.items()}, step=epoch
+        )
+        tracking.log_metric("spectral/compute_seconds", time.time() - t0, step=epoch)
+        self._save_epoch_spectral_artifacts(epoch)
+
+    def _save_epoch_spectral_artifacts(self, epoch: int) -> None:
+        """Per-epoch JSON + per-layer plots (reference: base.py:453-567)."""
+        if self.spectral_tracker is None or not self.spectral_tracker.history:
+            return
+        snap = self.spectral_tracker.history[-1]
+        payload = {
+            "epoch": epoch,
+            "timestamp": snap.timestamp,
+            "aggregated_metrics": snap.aggregated_metrics,
+            "layers": {
+                d.name: {
+                    "matrix_type": d.matrix_type,
+                    "metrics": d.metrics,
+                    "singular_values": d.singular_values.tolist(),
+                }
+                for d in snap.distributions
+            },
+        }
+        tracking.log_dict(payload, f"spectral/json/spectral_epoch_{epoch:04d}.json")
+        if self.config.spectral.track_distributions:
+            plot_dir = self.temp_dir / f"spectral_plots_epoch_{epoch:04d}"
+            for d in snap.distributions:
+                safe = d.name.replace(".", "_")
+                plot_singular_value_distribution(
+                    d.singular_values,
+                    plot_dir / f"{safe}.png",
+                    title=f"{d.name} (epoch {epoch})",
+                )
+            tracking.log_artifacts(plot_dir, f"spectral/plots/epoch_{epoch:04d}")
+            shutil.rmtree(plot_dir, ignore_errors=True)
+
+    def _log_final_artifacts(self) -> None:
+        if self.spectral_tracker is None or not self.spectral_tracker.history:
+            return
+        hist_path = self.temp_dir / "spectral_history.json"
+        self.spectral_tracker.save(hist_path)
+        tracking.log_artifact(hist_path)
+        if self.config.spectral.save_distribution_history:
+            plot_dir = self.temp_dir / "spectral_distribution_plots"
+            save_spectral_distribution_plots(self.spectral_tracker, plot_dir)
+            tracking.log_artifacts(plot_dir, "spectral/distribution_plots")
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _save_checkpoint(self, name: str, epoch: int, metrics: dict[str, float]) -> None:
+        path = self.temp_dir / f"{name}{CHECKPOINT_SUFFIX}"
+        save_checkpoint(
+            path,
+            self.state,
+            epoch,
+            metrics=metrics,
+            config=self.config,
+            best_val_metric=self.best_val_metric,
+        )
+        tracking.log_artifact(path, artifact_path="checkpoints")
+
+    def load_checkpoint(self, path: Path | str) -> dict[str, Any]:
+        """Restore full train state from a checkpoint (base.py:596-608)."""
+        ckpt = load_checkpoint(path, state_template=self.state)
+        self.state = ckpt["state"]
+        self.best_val_metric = ckpt.get("best_val_metric") or float("inf")
+        return ckpt
+
+    # -- cleanup -------------------------------------------------------------
+
+    def cleanup(self) -> None:
+        """Release state and temp artifacts (reference: base.py:610-673)."""
+        self.state = None
+        shutil.rmtree(self.temp_dir, ignore_errors=True)
+
+    # -- helpers -------------------------------------------------------------
+
+    @property
+    def num_train_batches(self) -> int:
+        n = len(self.train_loader)
+        return min(n, SMOKE_TRAIN_BATCHES) if self.smoke_test else n
+
+    @property
+    def num_val_batches(self) -> int:
+        n = len(self.val_loader)
+        return min(n, SMOKE_VAL_BATCHES) if self.smoke_test else n

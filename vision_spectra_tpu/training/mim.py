@@ -1,0 +1,119 @@
+"""Masked-image-modeling pretraining trainer.
+
+Reference behavior: vision_spectra/training/mim.py:25-166 — loss-only loops
+(the model computes its own reconstruction loss; labels are ignored), with
+reconstruction-example grids logged instead of prediction grids.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_spectra_tpu.data.transforms import eval_transform, mim_augment
+from vision_spectra_tpu.training.base import BaseTrainer
+from vision_spectra_tpu.training.state import apply_updates
+from vision_spectra_tpu.utils.visualization import save_mim_examples
+
+
+class MIMTrainer(BaseTrainer):
+    def _build_step_fns(self) -> None:
+        model = self.model
+        tx = self.tx
+        num_channels = self.info.num_channels
+        mask_ratio = self.config.model.mask_ratio
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, images_u8, key, lr, lr_mult):
+            k_aug, k_drop, k_mask = jax.random.split(key, 3)
+            images = mim_augment(images_u8, k_aug, num_channels=num_channels)
+
+            def compute_loss(params):
+                loss, _pred, _mask = model.apply(
+                    {"params": params},
+                    images,
+                    mask_ratio,
+                    deterministic=False,
+                    rngs={"dropout": k_drop, "mask": k_mask},
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            state = apply_updates(state, grads, tx, lr, lr_mult)
+            return state, {"loss": loss}
+
+        @jax.jit
+        def eval_step(state, images_u8, mask, key):
+            images = eval_transform(images_u8, num_channels=num_channels)
+            loss, pred, patch_mask = model.apply(
+                {"params": state.params},
+                images,
+                mask_ratio,
+                rngs={"mask": key},
+            )
+            # loss is already masked-mean over the batch; weight by batch
+            # validity fraction for padded eval batches.
+            return loss, pred, patch_mask
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def train_epoch(self, epoch: int) -> dict[str, float]:
+        total_loss = 0.0
+        total_seen = 0
+        for i, batch in enumerate(self.train_loader):
+            if i >= self.num_train_batches:
+                break
+            step = int(self.state.step)
+            lr = jnp.float32(self.schedule.lr_for_step(step))
+            self.state, metrics = self._train_step(
+                self.state, batch.images, self.step_key(step), lr, self.lr_mult
+            )
+            n = len(batch.images)
+            total_loss += float(metrics["loss"]) * n
+            total_seen += n
+        return {"loss": total_loss / max(total_seen, 1)}
+
+    def validate(self) -> dict[str, float]:
+        total_loss = 0.0
+        batches = 0
+        for i, batch in enumerate(self.val_loader):
+            if i >= self.num_val_batches:
+                break
+            loss, _pred, _mask = self._eval_step(
+                self.state,
+                batch.images,
+                batch.mask,
+                jax.random.fold_in(self._base_key, 10_000_000 + i),
+            )
+            total_loss += float(loss)
+            batches += 1
+        return {"loss": total_loss / max(batches, 1)}
+
+    def _save_examples(self, epoch: int) -> None:
+        """Reconstruction grids (reference: mim.py:46-73)."""
+        batch = next(iter(self.val_loader), None)
+        if batch is None:
+            return
+        images = eval_transform(batch.images, num_channels=self.info.num_channels)
+        _loss, pred, mask = self._eval_step(
+            self.state, batch.images, batch.mask, jax.random.fold_in(self._base_key, 99)
+        )
+        recon = self.model.apply(
+            {"params": self.state.params}, pred, method=self.model.reconstruct
+        )
+        path = self.temp_dir / "mim_examples.png"
+        save_mim_examples(
+            np.asarray(images),
+            np.asarray(mask),
+            np.asarray(recon),
+            path,
+            patch_size=self.model.encoder.patch_size,
+            num_channels=self.info.num_channels,
+        )
+        from vision_spectra_tpu import tracking
+
+        tracking.log_artifact(path, artifact_path="examples")

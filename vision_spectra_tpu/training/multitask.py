@@ -1,0 +1,199 @@
+"""Multitask (classification + MIM) trainer.
+
+Reference behavior: vision_spectra/training/multitask.py:27-297 —
+``loss = cls_weight · cls_loss + mim_weight · mim_loss`` computed from the
+model's ``forward_multitask`` in one step; tracks loss/cls_loss/mim_loss/
+accuracy (plus f1 on val).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_spectra_tpu.data.transforms import eval_transform, train_augment
+from vision_spectra_tpu.training.base import BaseTrainer
+from vision_spectra_tpu.training.metrics import (
+    accuracy_from_cm,
+    confusion_matrix_update,
+    macro_f1_from_cm,
+)
+from vision_spectra_tpu.training.state import apply_updates
+from vision_spectra_tpu.utils.visualization import (
+    save_mim_examples,
+    save_prediction_examples,
+)
+
+
+class MultitaskTrainer(BaseTrainer):
+    def _build_step_fns(self) -> None:
+        model = self.model
+        loss_fn = self.loss_fn
+        tx = self.tx
+        num_channels = self.info.num_channels
+        num_classes = self.info.num_classes
+        cls_w = self.config.loss.mtl_cls_weight
+        mim_w = self.config.loss.mtl_mim_weight
+        mask_ratio = self.config.model.mask_ratio
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, images_u8, labels, key, lr, lr_mult):
+            k_aug, k_drop, k_mask = jax.random.split(key, 3)
+            images = train_augment(images_u8, k_aug, num_channels=num_channels)
+
+            def compute_loss(params):
+                logits, mim_loss, _pred, _mask = model.apply(
+                    {"params": params},
+                    images,
+                    mode="multitask",
+                    mask_ratio=mask_ratio,
+                    deterministic=False,
+                    rngs={"dropout": k_drop, "mask": k_mask},
+                )
+                cls_loss = loss_fn(logits, labels)
+                total = cls_w * cls_loss + mim_w * mim_loss
+                return total, (cls_loss, mim_loss, logits)
+
+            (total, (cls_loss, mim_loss, logits)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+            state = apply_updates(state, grads, tx, lr, lr_mult)
+            correct = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
+            return state, {
+                "loss": total,
+                "cls_loss": cls_loss,
+                "mim_loss": mim_loss,
+                "correct": correct,
+            }
+
+        @jax.jit
+        def eval_step(state, images_u8, labels, mask, cm, key):
+            images = eval_transform(images_u8, num_channels=num_channels)
+            logits, mim_loss, pred, patch_mask = model.apply(
+                {"params": state.params},
+                images,
+                mode="multitask",
+                mask_ratio=mask_ratio,
+                rngs={"mask": key},
+            )
+            per_sample = -jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1), labels[:, None], axis=-1
+            )[:, 0]
+            cls_loss_sum = jnp.sum(per_sample * mask)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = confusion_matrix_update(cm, preds, labels, mask)
+            return cls_loss_sum, mim_loss, cm, pred, patch_mask
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+        self._num_classes = num_classes
+        self._cls_w, self._mim_w = cls_w, mim_w
+
+    def train_epoch(self, epoch: int) -> dict[str, float]:
+        sums = {"loss": 0.0, "cls_loss": 0.0, "mim_loss": 0.0}
+        total_correct = 0
+        total_seen = 0
+        for i, batch in enumerate(self.train_loader):
+            if i >= self.num_train_batches:
+                break
+            step = int(self.state.step)
+            lr = jnp.float32(self.schedule.lr_for_step(step))
+            self.state, metrics = self._train_step(
+                self.state,
+                batch.images,
+                batch.labels,
+                self.step_key(step),
+                lr,
+                self.lr_mult,
+            )
+            n = len(batch.labels)
+            for k in sums:
+                sums[k] += float(metrics[k]) * n
+            total_correct += int(metrics["correct"])
+            total_seen += n
+        out = {k: v / max(total_seen, 1) for k, v in sums.items()}
+        out["accuracy"] = total_correct / max(total_seen, 1)
+        return out
+
+    def validate(self) -> dict[str, float]:
+        c = self._num_classes
+        cm = jnp.zeros((c, c), jnp.float32)
+        cls_loss_sum = 0.0
+        mim_loss_sum = 0.0
+        batches = 0
+        for i, batch in enumerate(self.val_loader):
+            if i >= self.num_val_batches:
+                break
+            ls, ml, cm, _pred, _mask = self._eval_step(
+                self.state,
+                batch.images,
+                batch.labels,
+                batch.mask,
+                cm,
+                jax.random.fold_in(self._base_key, 20_000_000 + i),
+            )
+            cls_loss_sum += float(ls)
+            mim_loss_sum += float(ml)
+            batches += 1
+        cm_np = np.asarray(cm)
+        n = cm_np.sum()
+        cls_loss = cls_loss_sum / max(n, 1)
+        mim_loss = mim_loss_sum / max(batches, 1)
+        return {
+            "loss": self._cls_w * cls_loss + self._mim_w * mim_loss,
+            "cls_loss": cls_loss,
+            "mim_loss": mim_loss,
+            "accuracy": accuracy_from_cm(cm_np),
+            "f1_macro": macro_f1_from_cm(cm_np),
+        }
+
+    def _save_examples(self, epoch: int) -> None:
+        """Both prediction and MIM grids (reference: multitask.py:96-124)."""
+        from vision_spectra_tpu import tracking
+        from vision_spectra_tpu.models.mim import unpatchify
+
+        batch = next(iter(self.val_loader), None)
+        if batch is None:
+            return
+        images = eval_transform(batch.images, num_channels=self.info.num_channels)
+        logits = self.model.apply(
+            {"params": self.state.params}, images, mode="classification"
+        )
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        valid = batch.mask > 0
+        out = save_prediction_examples(
+            np.asarray(images)[valid],
+            batch.labels[valid],
+            probs.argmax(axis=-1)[valid],
+            probs[valid],
+            self.temp_dir / "predictions_all.png",
+            class_names=self.info.class_names,
+            num_channels=self.info.num_channels,
+        )
+        if out is not None:
+            tracking.log_artifact(out, artifact_path="examples")
+
+        _ls, _ml, _cm, pred, patch_mask = self._eval_step(
+            self.state,
+            batch.images,
+            batch.labels,
+            batch.mask,
+            jnp.zeros((self._num_classes, self._num_classes), jnp.float32),
+            jax.random.fold_in(self._base_key, 98),
+        )
+        enc = self.model.encoder
+        recon = unpatchify(
+            np.asarray(pred), enc.patch_size, enc.image_size, enc.num_channels
+        )
+        path = save_mim_examples(
+            np.asarray(images),
+            np.asarray(patch_mask),
+            recon,
+            self.temp_dir / "mim_examples.png",
+            patch_size=enc.patch_size,
+            num_channels=self.info.num_channels,
+        )
+        tracking.log_artifact(path, artifact_path="examples")
