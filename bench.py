@@ -1,0 +1,168 @@
+"""Benchmark: PathMNIST train-cls throughput (images/sec/chip) on real hardware.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N/10000}
+
+Baseline: 10,000 images/sec/chip (BASELINE.json north star, TPU v5e).
+
+The benchmark runs the full production train step — uint8 host batch →
+device-side augmentation → ViT-Tiny (192d/12L, patch 16 @ img 28, the
+scenario-B flagship) forward/backward → AdamW — on PathMNIST-shaped data
+(the deterministic surrogate when the real npz is absent; pixel values do
+not affect throughput). Secondary diagnostics (spectral-snapshot latency)
+go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vision_spectra_tpu.config import (
+        DatasetConfig,
+        DatasetName,
+        ExperimentConfig,
+        ModelConfig,
+        SpectralConfig,
+        TrainingConfig,
+    )
+    from vision_spectra_tpu.losses import make_cross_entropy
+    from vision_spectra_tpu.models import build_vit
+    from vision_spectra_tpu.spectral import (
+        batched_spectral_metrics,
+        extract_all_weights,
+        group_weights_by_shape,
+    )
+    from vision_spectra_tpu.training.state import (
+        TrainState,
+        apply_updates,
+        make_optimizer,
+    )
+    from vision_spectra_tpu.data.transforms import train_augment
+
+    platform = jax.default_backend()
+    n_devices = len(jax.devices())
+    print(f"bench platform={platform} devices={n_devices}", file=sys.stderr)
+
+    batch_size = 1024
+    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+
+    cfg = ExperimentConfig(
+        name="bench",
+        dataset=DatasetConfig(name=DatasetName.PATHMNIST, batch_size=batch_size),
+        model=ModelConfig(name="vit_tiny_patch16_224"),
+        training=TrainingConfig(epochs=1, mixed_precision=True),
+        spectral=SpectralConfig(enabled=True),
+    )
+
+    model, desc = build_vit(
+        cfg.model.name,
+        num_classes=9,
+        num_channels=3,
+        image_size=28,
+        drop_path_rate=cfg.model.drop_path_rate,
+        dtype=dtype,
+    )
+    sample = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    params = model.init(jax.random.key(0), sample)["params"]
+    tx = make_optimizer(cfg.optimizer, gradient_clip=1.0)
+    state = TrainState.create(params, tx)
+    loss_fn = make_cross_entropy()
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, images_u8, labels, key, lr):
+        k_aug, k_drop = jax.random.split(key)
+        images = train_augment(images_u8, k_aug, num_channels=3)
+
+        def compute_loss(params):
+            logits = model.apply(
+                {"params": params},
+                images,
+                deterministic=False,
+                rngs={"dropout": k_drop},
+            )
+            return loss_fn(logits, labels)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        return apply_updates(state, grads, tx, lr, None), loss
+
+    # PathMNIST-shaped data pool (pixels don't affect throughput).
+    rng = np.random.RandomState(0)
+    n_pool = 8
+    pools = [
+        (
+            rng.randint(0, 256, size=(batch_size, 28, 28, 3), dtype=np.uint8),
+            rng.randint(0, 9, size=batch_size).astype(np.int32),
+        )
+        for _ in range(n_pool)
+    ]
+    lr = jnp.float32(1e-4)
+
+    # Warmup (compile + a few steps).
+    for i in range(5):
+        images, labels = pools[i % n_pool]
+        state, loss = train_step(state, images, labels, jax.random.key(i), lr)
+    jax.block_until_ready(loss)
+
+    # Timed steps.
+    n_steps = 50
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        images, labels = pools[i % n_pool]
+        state, loss = train_step(state, images, labels, jax.random.key(100 + i), lr)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    images_per_sec = n_steps * batch_size / dt
+    per_chip = images_per_sec / max(1, n_devices)
+    print(
+        f"train-cls: {n_steps} steps x {batch_size} in {dt:.3f}s -> "
+        f"{images_per_sec:,.0f} img/s total, {per_chip:,.0f} img/s/chip "
+        f"(loss={float(loss):.4f})",
+        file=sys.stderr,
+    )
+
+    # Secondary: full-model spectral snapshot latency (on-device batched SVD).
+    weights = extract_all_weights(state.params, layer_patterns=None)
+    t0 = time.perf_counter()
+    for shape, group in group_weights_by_shape(weights).items():
+        if len(shape) == 2:
+            stack = np.stack([np.asarray(w.weight, np.float32) for w in group])
+            batched_spectral_metrics(stack)
+    svd_ms_cold = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    for shape, group in group_weights_by_shape(weights).items():
+        if len(shape) == 2:
+            stack = np.stack([np.asarray(w.weight, np.float32) for w in group])
+            batched_spectral_metrics(stack)
+    svd_ms = (time.perf_counter() - t0) * 1e3
+    print(
+        f"spectral snapshot ({len(weights)} matrices): "
+        f"{svd_ms:.1f} ms warm ({svd_ms_cold:.0f} ms cold)",
+        file=sys.stderr,
+    )
+
+    baseline = 10_000.0
+    print(
+        json.dumps(
+            {
+                "metric": "pathmnist_train_cls_throughput",
+                "value": round(per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

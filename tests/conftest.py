@@ -9,7 +9,12 @@ the top of conftest.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins JAX_PLATFORMS to a TPU platform —
+# the test suite must run on the virtual 8-device mesh everywhere. Note: in
+# some environments a sitecustomize imports jax at interpreter startup, so
+# env vars alone are too late; jax.config.update works as long as no backend
+# has been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +23,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Make the repo root importable without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
