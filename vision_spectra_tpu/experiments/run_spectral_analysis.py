@@ -1,0 +1,640 @@
+"""Six-scenario spectral analysis — the core experiment.
+
+Reference behavior: vision_spectra/experiments/run_spectral_analysis.py:86-1017.
+The capacity × data-complexity grid:
+
+=========  =================  ==============  ======  ========
+Scenario   Model              Dataset         Epochs  Classes
+=========  =================  ==============  ======  ========
+A          ViT-Tiny (full)    synthetic 1000  30      3
+B          ViT-Tiny (full)    pathmnist full  50      9
+C          96d / 3L           pathmnist full  50      9
+D          96d / 3L           synthetic 1000  30      3
+E          32d / 1L           synthetic 1000  30      3
+F          32d / 1L           pathmnist full  50      9
+=========  =================  ==============  ======  ========
+
+Scenarios A/B use the unmodified ViT-Tiny (192d, depth 12 — the reference
+passes no overrides for them, run_spectral_analysis.py:276-287); C–F override
+embed_dim/depth with heads = max(1, embed_dim // 32).
+
+Each run uses the reference's minimal recipe — plain cross-entropy + AdamW
+(wd = 0.05), constant LR, no scheduler/early-stop — but executed as ONE
+jitted device step (augment+fwd+bwd+optimizer fused, donated state). Spectral
+snapshots (QKV + attention-proj + MLP weights, full spectra) are taken at the
+scenario's ``log_epochs`` via batched on-device SVD, and logged under the
+exact metric names / artifact layout the analysis layer replays
+(``spectral/alpha_exponent_mean`` etc., ``spectral/epoch_N/{singular_values,
+layer_metrics}.json`` + histograms). Accuracies are logged in percent, as the
+reference does (run_spectral_analysis.py:563).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import tempfile
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Any
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_spectra_tpu import tracking
+from vision_spectra_tpu.config import (
+    DATA_DIR,
+    DatasetConfig,
+    DatasetName,
+    MLRUNS_DIR,
+    set_seed,
+)
+from vision_spectra_tpu.utils.logging import logger
+
+# =============================================================================
+# Scenario definitions
+# =============================================================================
+
+
+class ScenarioType(str, Enum):
+    A_EXPRESSIVE_SIMPLE = "A"
+    B_EXPRESSIVE_COMPLEX = "B"
+    C_REDUCED_COMPLEX = "C"
+    D_REDUCED_SIMPLE = "D"
+    E_TINY_SIMPLE = "E"
+    F_TINY_COMPLEX = "F"
+
+
+@dataclass
+class ScenarioConfig:
+    scenario: ScenarioType
+    model_name: str
+    embed_dim: int
+    depth: int
+    dataset_name: str
+    num_samples: int | None
+    num_classes: int
+    epochs: int
+    batch_size: int
+    learning_rate: float
+    seeds: list[int]
+    log_epochs: list[int]
+    description: str
+
+
+@dataclass
+class ScenarioResult:
+    scenario: ScenarioType
+    seed: int
+    success: bool
+    final_accuracy: float
+    best_val_accuracy: float
+    final_metrics: dict[str, float]
+    metrics_history: dict[int, dict[str, float]]
+    training_time: float
+    error_message: str | None = None
+
+
+def _cfg(scenario, embed_dim, depth, dataset, num_samples, num_classes, epochs,
+         batch, log_epochs, desc) -> ScenarioConfig:
+    return ScenarioConfig(
+        scenario=scenario,
+        model_name="vit_tiny_patch16_224",
+        embed_dim=embed_dim,
+        depth=depth,
+        dataset_name=dataset,
+        num_samples=num_samples,
+        num_classes=num_classes,
+        epochs=epochs,
+        batch_size=batch,
+        learning_rate=1e-4,
+        seeds=[42, 123, 456],
+        log_epochs=log_epochs,
+        description=desc,
+    )
+
+
+_SYN_LOG = [0, 1, 2, 3, 4, 5, 10, 15, 20, 25, 29]
+_PATH_LOG = [0, 1, 2, 3, 4, 5, 10, 15, 20, 30, 40, 49]
+
+SCENARIO_CONFIGS: dict[ScenarioType, ScenarioConfig] = {
+    ScenarioType.A_EXPRESSIVE_SIMPLE: _cfg(
+        ScenarioType.A_EXPRESSIVE_SIMPLE, 192, 6, "synthetic", 1000, 3, 30, 32,
+        _SYN_LOG, "Expressive network (ViT-Tiny) on simple synthetic data"),
+    ScenarioType.B_EXPRESSIVE_COMPLEX: _cfg(
+        ScenarioType.B_EXPRESSIVE_COMPLEX, 192, 6, "pathmnist", None, 9, 50, 64,
+        _PATH_LOG, "Expressive network (ViT-Tiny) on complex PathMNIST data"),
+    ScenarioType.C_REDUCED_COMPLEX: _cfg(
+        ScenarioType.C_REDUCED_COMPLEX, 96, 3, "pathmnist", None, 9, 50, 64,
+        _PATH_LOG, "Reduced expressivity network on complex PathMNIST data"),
+    ScenarioType.D_REDUCED_SIMPLE: _cfg(
+        ScenarioType.D_REDUCED_SIMPLE, 96, 3, "synthetic", 1000, 3, 30, 32,
+        _SYN_LOG, "Reduced expressivity network on simple synthetic data"),
+    ScenarioType.E_TINY_SIMPLE: _cfg(
+        ScenarioType.E_TINY_SIMPLE, 32, 1, "synthetic", 1000, 3, 30, 32,
+        _SYN_LOG, "Tiny network (embed=32, depth=1) on simple synthetic data"),
+    ScenarioType.F_TINY_COMPLEX: _cfg(
+        ScenarioType.F_TINY_COMPLEX, 32, 1, "pathmnist", None, 9, 50, 64,
+        _PATH_LOG, "Tiny network (embed=32, depth=1) on complex PathMNIST data"),
+}
+
+_REDUCED = {
+    ScenarioType.C_REDUCED_COMPLEX,
+    ScenarioType.D_REDUCED_SIMPLE,
+    ScenarioType.E_TINY_SIMPLE,
+    ScenarioType.F_TINY_COMPLEX,
+}
+
+
+def create_model_for_scenario(config: ScenarioConfig):
+    """Build the scenario's model (reference: run_spectral_analysis.py:244-289).
+
+    A/B use the unmodified ViT-Tiny; C–F get embed_dim/depth overrides with
+    heads = max(1, embed_dim // 32).
+    """
+    from vision_spectra_tpu.models import build_vit
+
+    if config.scenario in _REDUCED:
+        model, desc = build_vit(
+            "vit_tiny_patch16_224",
+            num_classes=config.num_classes,
+            num_channels=3,
+            image_size=28,
+            embed_dim=config.embed_dim,
+            depth=config.depth,
+            drop_path_rate=0.1,
+        )
+    else:
+        model, desc = build_vit(
+            config.model_name,
+            num_classes=config.num_classes,
+            num_channels=3,
+            image_size=28,
+            drop_path_rate=0.1,
+        )
+    return model, desc
+
+
+# =============================================================================
+# Spectral analysis
+# =============================================================================
+
+
+def extract_and_analyze_weights(params: Any) -> dict[str, Any]:
+    """QKV + attn-proj + MLP spectra via batched device SVD.
+
+    Reference: run_spectral_analysis.py:297-345. Returns per_layer_metrics,
+    aggregated_metrics, and full singular-value arrays per layer.
+    """
+    from vision_spectra_tpu.spectral import (
+        aggregate_spectral_metrics,
+        batched_spectral_metrics,
+        extract_attention_weights,
+        extract_mlp_weights,
+        extract_qkv_weights,
+        group_weights_by_shape,
+    )
+
+    weights = (
+        extract_qkv_weights(params)
+        + extract_attention_weights(params)
+        + extract_mlp_weights(params)
+    )
+    per_layer_metrics: dict[str, dict[str, float]] = {}
+    singular_values: dict[str, list[float]] = {}
+    for shape, group in group_weights_by_shape(weights).items():
+        if len(shape) != 2:
+            continue
+        stack = np.stack([np.asarray(w.weight, np.float32) for w in group])
+        svs, metric_dicts = batched_spectral_metrics(stack)
+        for w, s, m in zip(group, svs, metric_dicts):
+            per_layer_metrics[w.name] = m
+            singular_values[w.name] = np.asarray(s, np.float64).tolist()
+    aggregated = aggregate_spectral_metrics(list(per_layer_metrics.values()))
+    return {
+        "per_layer_metrics": per_layer_metrics,
+        "aggregated_metrics": aggregated,
+        "singular_values": singular_values,
+    }
+
+
+def log_spectral_artifacts(
+    analysis: dict[str, Any], epoch: int, histograms: bool = True
+) -> None:
+    """``spectral/epoch_N/{singular_values,layer_metrics}.json`` + histograms.
+
+    Reference: run_spectral_analysis.py:348-412.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    tracking.log_dict(
+        analysis["singular_values"], f"spectral/epoch_{epoch}/singular_values.json"
+    )
+    clean = {
+        layer: {k: (v if np.isfinite(v) else None) for k, v in m.items()}
+        for layer, m in analysis["per_layer_metrics"].items()
+    }
+    tracking.log_dict(clean, f"spectral/epoch_{epoch}/layer_metrics.json")
+
+    if not histograms:
+        return
+    with tempfile.TemporaryDirectory() as tmpdir:
+        hist_dir = Path(tmpdir) / "histograms"
+        hist_dir.mkdir()
+        for layer_name, svs in analysis["singular_values"].items():
+            if not svs:
+                continue
+            fig, ax = plt.subplots(figsize=(8, 5))
+            ax.hist(
+                np.log10(np.asarray(svs) + 1e-10),
+                bins=30,
+                edgecolor="black",
+                alpha=0.7,
+            )
+            ax.set_xlabel("log10(sigma)")
+            ax.set_ylabel("count")
+            ax.set_title(f"Singular Values: {layer_name}")
+            fig.tight_layout()
+            safe = layer_name.replace(".", "_").replace("/", "_")
+            fig.savefig(hist_dir / f"{safe}.png", dpi=100)
+            plt.close(fig)
+        tracking.log_artifacts(hist_dir, f"spectral/epoch_{epoch}/histograms")
+
+
+# =============================================================================
+# The scenario training loop
+# =============================================================================
+
+
+def _build_loaders(config: ScenarioConfig, seed: int, data_dir: Path):
+    if config.dataset_name == "synthetic":
+        from vision_spectra_tpu.data.synthetic import create_synthetic_dataset
+
+        return create_synthetic_dataset(
+            num_classes=config.num_classes,
+            num_samples_train=config.num_samples or 1000,
+            num_samples_val=200,
+            num_samples_test=200,
+            batch_size=config.batch_size,
+            seed=seed,
+        )[:2]
+    from vision_spectra_tpu.data import get_dataset
+
+    ds_cfg = DatasetConfig(
+        name=DatasetName(config.dataset_name),
+        batch_size=config.batch_size,
+        sample_ratio=1.0 if config.num_samples is None else 0.5,
+    )
+    ds = get_dataset(ds_cfg, data_dir)
+    return ds.get_train_loader(seed=seed), ds.get_val_loader()
+
+
+def run_scenario_experiment(
+    config: ScenarioConfig,
+    seed: int,
+    output_dir: Path = MLRUNS_DIR,
+    data_dir: Path = DATA_DIR,
+    histogram_artifacts: bool = True,
+) -> ScenarioResult:
+    """One scenario × seed run (reference: run_spectral_analysis.py:420-671)."""
+    from vision_spectra_tpu.data.transforms import eval_transform, train_augment
+    from vision_spectra_tpu.config import OptimizerConfig, OptimizerName
+    from vision_spectra_tpu.losses import cross_entropy_loss
+    from vision_spectra_tpu.training.state import (
+        TrainState,
+        apply_updates,
+        make_optimizer,
+    )
+
+    start_time = time.time()
+    set_seed(seed)
+    experiment_name = f"spectral_scenario_{config.scenario.value}"
+
+    try:
+        tracking.set_tracking_uri(output_dir)
+        tracking.set_experiment(experiment_name)
+        with tracking.start_run(run_name=f"seed_{seed}"):
+            tracking.log_params(
+                {
+                    "scenario": config.scenario.value,
+                    "model_name": config.model_name,
+                    "embed_dim": config.embed_dim,
+                    "depth": config.depth,
+                    "dataset": config.dataset_name,
+                    "num_samples": config.num_samples or "full",
+                    "num_classes": config.num_classes,
+                    "epochs": config.epochs,
+                    "batch_size": config.batch_size,
+                    "learning_rate": config.learning_rate,
+                    "seed": seed,
+                }
+            )
+
+            model, desc = create_model_for_scenario(config)
+            base_key = jax.random.key(seed)
+            sample = jnp.zeros((1, 28, 28, 3), jnp.float32)
+            params = model.init(
+                {"params": base_key}, sample
+            )["params"]
+            num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+            tracking.log_param("num_parameters", num_params)
+
+            train_loader, val_loader = _build_loaders(config, seed, data_dir)
+
+            # Plain CE + AdamW(wd=0.05), constant LR — the reference recipe.
+            opt_cfg = OptimizerConfig(
+                name=OptimizerName.ADAMW,
+                learning_rate=config.learning_rate,
+                weight_decay=0.05,
+            )
+            tx = make_optimizer(opt_cfg, gradient_clip=0.0)
+            state = TrainState.create(params, tx)
+            lr = jnp.float32(config.learning_rate)
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(state, images_u8, labels, key):
+                k_aug, k_drop = jax.random.split(key)
+                images = train_augment(images_u8, k_aug, num_channels=3)
+
+                def compute_loss(p):
+                    logits = model.apply(
+                        {"params": p},
+                        images,
+                        deterministic=False,
+                        rngs={"dropout": k_drop},
+                    )
+                    return cross_entropy_loss(logits, labels), logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    compute_loss, has_aux=True
+                )(state.params)
+                state = apply_updates(state, grads, tx, lr, None)
+                correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+                return state, loss, correct
+
+            @jax.jit
+            def eval_step(state, images_u8, labels, mask):
+                images = eval_transform(images_u8, num_channels=3)
+                logits = model.apply({"params": state.params}, images)
+                correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
+                return correct
+
+            metrics_history: dict[int, dict[str, float]] = {}
+
+            def snapshot(epoch: int) -> None:
+                analysis = extract_and_analyze_weights(state.params)
+                metrics_history[epoch] = analysis["aggregated_metrics"]
+                log_spectral_artifacts(
+                    analysis, epoch=epoch, histograms=histogram_artifacts
+                )
+                tracking.log_metrics(
+                    {
+                        f"spectral/{k}": v
+                        for k, v in analysis["aggregated_metrics"].items()
+                    },
+                    step=epoch,
+                )
+
+            if 0 in config.log_epochs:
+                logger.info("Logging initial spectral metrics (epoch 0)")
+                snapshot(0)
+
+            best_val_accuracy = 0.0
+            final_accuracy = 0.0
+            train_accuracy = 0.0
+            global_step = 0
+            for epoch in range(1, config.epochs + 1):
+                train_loss_sum = 0.0
+                train_correct = 0
+                train_total = 0
+                for batch in train_loader:
+                    state, loss, correct = train_step(
+                        state,
+                        batch.images,
+                        batch.labels,
+                        jax.random.fold_in(base_key, global_step),
+                    )
+                    global_step += 1
+                    n = len(batch.labels)
+                    train_loss_sum += float(loss)
+                    train_correct += int(correct)
+                    train_total += n
+                avg_train_loss = train_loss_sum / max(1, len(train_loader))
+                train_accuracy = 100.0 * train_correct / max(1, train_total)
+
+                val_correct = 0
+                val_total = 0
+                for batch in val_loader:
+                    val_correct += int(
+                        eval_step(state, batch.images, batch.labels, batch.mask)
+                    )
+                    val_total += int(batch.mask.sum())
+                val_accuracy = 100.0 * val_correct / max(1, val_total)
+                final_accuracy = val_accuracy
+                best_val_accuracy = max(best_val_accuracy, val_accuracy)
+
+                tracking.log_metrics(
+                    {
+                        "train/loss": avg_train_loss,
+                        "train/accuracy": train_accuracy,
+                        "val/accuracy": val_accuracy,
+                    },
+                    step=epoch,
+                )
+
+                if epoch in config.log_epochs:
+                    logger.info("Epoch %d: logging spectral metrics", epoch)
+                    snapshot(epoch)
+
+                if epoch % 5 == 0 or epoch == 1:
+                    logger.info(
+                        "Epoch %d/%d: train loss=%.4f acc=%.2f%% val acc=%.2f%%",
+                        epoch, config.epochs, avg_train_loss,
+                        train_accuracy, val_accuracy,
+                    )
+
+            if config.epochs not in metrics_history:
+                snapshot(config.epochs)
+
+            tracking.log_metrics(
+                {
+                    "final/val_accuracy": best_val_accuracy,
+                    "final/train_accuracy": train_accuracy,
+                }
+            )
+            training_time = time.time() - start_time
+            tracking.log_metric("training_time", training_time)
+
+            return ScenarioResult(
+                scenario=config.scenario,
+                seed=seed,
+                success=True,
+                final_accuracy=final_accuracy,
+                best_val_accuracy=best_val_accuracy,
+                final_metrics=metrics_history.get(config.epochs, {}),
+                metrics_history=metrics_history,
+                training_time=training_time,
+            )
+    except Exception as e:  # crash isolation: sweeps continue past failures
+        logger.error("Scenario %s seed %d failed: %s", config.scenario.value, seed, e)
+        import traceback
+
+        traceback.print_exc()
+        return ScenarioResult(
+            scenario=config.scenario,
+            seed=seed,
+            success=False,
+            final_accuracy=0.0,
+            best_val_accuracy=0.0,
+            final_metrics={},
+            metrics_history={},
+            training_time=time.time() - start_time,
+            error_message=str(e),
+        )
+
+
+def _resolve_seeds(config: ScenarioConfig, num_seeds: int | None) -> list[int]:
+    """Default seeds, or 42 + 100·i when --num-seeds is given (reference :706)."""
+    if num_seeds is None:
+        return config.seeds
+    return [42 + 100 * i for i in range(num_seeds)]
+
+
+def run_scenario(
+    scenario: ScenarioType,
+    num_seeds: int | None = None,
+    output_dir: Path = MLRUNS_DIR,
+    data_dir: Path = DATA_DIR,
+    epochs: int | None = None,
+    histogram_artifacts: bool = True,
+) -> list[ScenarioResult]:
+    config = SCENARIO_CONFIGS[scenario]
+    if epochs is not None:
+        config = ScenarioConfig(**{**config.__dict__, "epochs": epochs})
+    results = []
+    for seed in _resolve_seeds(config, num_seeds):
+        logger.info("=== Scenario %s seed %d ===", scenario.value, seed)
+        results.append(
+            run_scenario_experiment(
+                config, seed, output_dir, data_dir,
+                histogram_artifacts=histogram_artifacts,
+            )
+        )
+    return results
+
+
+# =============================================================================
+# CLI
+# =============================================================================
+
+
+@click.group("spectral-analysis")
+def spectral_analysis() -> None:
+    """Six-scenario spectral analysis experiments."""
+
+
+def _scenario_command(letter: str):
+    st = ScenarioType(letter.upper())
+
+    @click.option("--num-seeds", default=None, type=int, help="Number of seeds (42+100i)")
+    @click.option("--epochs", default=None, type=int, help="Override epochs")
+    @click.option("--output-dir", type=click.Path(path_type=Path), default=MLRUNS_DIR)
+    @click.option("--data-dir", type=click.Path(path_type=Path), default=DATA_DIR)
+    @click.option("--no-histograms", is_flag=True, default=False,
+                  help="Skip per-layer histogram artifacts (faster)")
+    def cmd(num_seeds, epochs, output_dir, data_dir, no_histograms):
+        results = run_scenario(
+            st, num_seeds, output_dir, data_dir, epochs,
+            histogram_artifacts=not no_histograms,
+        )
+        ok = sum(r.success for r in results)
+        click.echo(f"Scenario {st.value}: {ok}/{len(results)} runs succeeded")
+        for r in results:
+            click.echo(
+                f"  seed {r.seed}: acc={r.best_val_accuracy:.2f}% "
+                f"alpha={r.final_metrics.get('alpha_exponent_mean', float('nan')):.4f} "
+                f"({r.training_time:.0f}s)"
+            )
+
+    cmd.__name__ = f"scenario_{letter}"
+    doc = SCENARIO_CONFIGS[st].description
+    cmd.__doc__ = doc
+    return click.command(f"scenario-{letter}")(cmd)
+
+
+for _letter in "abcdef":
+    spectral_analysis.add_command(_scenario_command(_letter))
+
+
+@spectral_analysis.command("run-all")
+@click.option("--num-seeds", default=None, type=int)
+@click.option("--epochs", default=None, type=int)
+@click.option("--output-dir", type=click.Path(path_type=Path), default=MLRUNS_DIR)
+@click.option("--data-dir", type=click.Path(path_type=Path), default=DATA_DIR)
+@click.option("--no-histograms", is_flag=True, default=False)
+def run_all(num_seeds, epochs, output_dir, data_dir, no_histograms):
+    """Run all six scenarios (reference :914)."""
+    all_results = {}
+    for st in ScenarioType:
+        results = run_scenario(
+            st, num_seeds, output_dir, data_dir, epochs,
+            histogram_artifacts=not no_histograms,
+        )
+        all_results[st.value] = results
+    for letter, results in all_results.items():
+        ok = sum(r.success for r in results)
+        click.echo(f"Scenario {letter}: {ok}/{len(results)} ok")
+
+
+@spectral_analysis.command("compare")
+@click.option("--output-dir", type=click.Path(path_type=Path), default=MLRUNS_DIR)
+def compare(output_dir):
+    """Compare scenarios from tracked runs (reference :936-1017)."""
+    from rich.console import Console
+    from rich.table import Table
+
+    tracking.set_tracking_uri(output_dir)
+    client = tracking.MlflowClient(output_dir)
+    table = Table(title="Spectral Scenario Comparison")
+    for col in ("Scenario", "Runs", "Val Acc %", "Delta alpha", "Stable rank (final)"):
+        table.add_column(col)
+    for st in ScenarioType:
+        exp = client.get_experiment_by_name(f"spectral_scenario_{st.value}")
+        if exp is None:
+            table.add_row(st.value, "0", "-", "-", "-")
+            continue
+        runs = [
+            r for r in client.search_runs([exp.experiment_id])
+            if r.info.status == "FINISHED"
+        ]
+        accs, deltas, srs = [], [], []
+        for run in runs:
+            acc = run.metrics.get("final/val_accuracy")
+            if acc is not None:
+                accs.append(acc)
+            hist = client.get_metric_history(
+                run.info.run_id, "spectral/alpha_exponent_mean"
+            )
+            if hist:
+                hist = sorted(hist, key=lambda m: m.step)
+                deltas.append(hist[-1].value - hist[0].value)
+            sr = client.get_metric_history(
+                run.info.run_id, "spectral/stable_rank_mean"
+            )
+            if sr:
+                srs.append(sorted(sr, key=lambda m: m.step)[-1].value)
+        table.add_row(
+            st.value,
+            str(len(runs)),
+            f"{np.mean(accs):.2f}" if accs else "-",
+            f"{np.mean(deltas):+.4f}" if deltas else "-",
+            f"{np.mean(srs):.2f}" if srs else "-",
+        )
+    Console().print(table)
