@@ -23,6 +23,9 @@ import numpy as np
 
 
 def main() -> None:
+    from vision_spectra_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -36,11 +39,7 @@ def main() -> None:
     )
     from vision_spectra_tpu.losses import make_cross_entropy
     from vision_spectra_tpu.models import build_vit
-    from vision_spectra_tpu.spectral import (
-        batched_spectral_metrics,
-        extract_all_weights,
-        group_weights_by_shape,
-    )
+    from vision_spectra_tpu.spectral import extract_all_weights
     from vision_spectra_tpu.training.state import (
         TrainState,
         apply_updates,
@@ -131,19 +130,16 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Secondary: full-model spectral snapshot latency (on-device batched SVD).
+    # Secondary: full-model spectral snapshot latency (on-device batched SVD,
+    # weights stay device-resident, one packed fetch per shape group).
+    from vision_spectra_tpu.spectral import compute_distributions
+
     weights = extract_all_weights(state.params, layer_patterns=None)
     t0 = time.perf_counter()
-    for shape, group in group_weights_by_shape(weights).items():
-        if len(shape) == 2:
-            stack = np.stack([np.asarray(w.weight, np.float32) for w in group])
-            batched_spectral_metrics(stack)
+    compute_distributions(weights, on_device=True)
     svd_ms_cold = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
-    for shape, group in group_weights_by_shape(weights).items():
-        if len(shape) == 2:
-            stack = np.stack([np.asarray(w.weight, np.float32) for w in group])
-            batched_spectral_metrics(stack)
+    compute_distributions(weights, on_device=True)
     svd_ms = (time.perf_counter() - t0) * 1e3
     print(
         f"spectral snapshot ({len(weights)} matrices): "

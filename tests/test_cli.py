@@ -1,0 +1,108 @@
+"""CLI surface tests via click's test runner (mirrors CI smoke job)."""
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from vision_spectra_tpu.cli import main
+
+
+@pytest.fixture
+def runner():
+    return CliRunner()
+
+
+class TestHelp:
+    def test_root_help(self, runner):
+        r = runner.invoke(main, ["--help"])
+        assert r.exit_code == 0
+        for cmd in ("train-cls", "pretrain-mim", "finetune", "train-mtl",
+                    "eval", "download-data", "info", "experiments", "figures"):
+            assert cmd in r.output
+
+    def test_version(self, runner):
+        r = runner.invoke(main, ["--version"])
+        assert r.exit_code == 0
+
+    def test_info(self, runner):
+        r = runner.invoke(main, ["info"])
+        assert r.exit_code == 0
+        assert "jax" in r.output
+
+    def test_experiments_help(self, runner):
+        r = runner.invoke(main, ["experiments", "--help"])
+        assert r.exit_code == 0
+        for sub in ("classification", "spectral-analysis", "synthetic"):
+            assert sub in r.output
+
+    def test_scenario_commands_exist(self, runner):
+        r = runner.invoke(main, ["experiments", "spectral-analysis", "--help"])
+        assert r.exit_code == 0
+        for letter in "abcdef":
+            assert f"scenario-{letter}" in r.output
+        assert "run-all" in r.output and "compare" in r.output
+
+    def test_list_shapes(self, runner):
+        r = runner.invoke(main, ["experiments", "synthetic", "list-shapes"])
+        assert r.exit_code == 0
+        assert "circle" in r.output
+
+    def test_list_losses(self, runner):
+        r = runner.invoke(main, ["experiments", "classification", "list-losses"])
+        assert r.exit_code == 0
+        assert "cross_entropy" in r.output and "focal" in r.output
+
+
+class TestSmokeTraining:
+    def test_train_cls_smoke(self, runner, tmp_path):
+        """The CI end-to-end smoke (reference ci.yaml:196-203)."""
+        r = runner.invoke(
+            main,
+            [
+                "train-cls", "--dataset", "synthetic", "--epochs", "2",
+                "--batch-size", "8", "--smoke-test", "--name", "cli_smoke",
+                "--output-dir", str(tmp_path / "runs"),
+                "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "Final:" in r.output
+        # tracking store written
+        assert any((tmp_path / "runs").iterdir())
+
+    def test_eval_roundtrip(self, runner, tmp_path):
+        """train-cls then eval the produced best checkpoint."""
+        runs = tmp_path / "runs"
+        r = runner.invoke(
+            main,
+            [
+                "train-cls", "--dataset", "synthetic", "--epochs", "1",
+                "--batch-size", "8", "--smoke-test", "--name", "ckpt_run",
+                "--output-dir", str(runs), "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        ckpts = list(runs.rglob("best.msgpack"))
+        assert ckpts, "no checkpoint produced"
+        r = runner.invoke(
+            main,
+            [
+                "eval", str(ckpts[0]), "--dataset", "synthetic",
+                "--split", "val", "--batch-size", "8",
+                "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "accuracy" in r.output
+
+    def test_download_data_missing(self, runner, tmp_path):
+        r = runner.invoke(
+            main,
+            ["download-data", "--dataset", "pathmnist",
+             "--data-dir", str(tmp_path)],
+        )
+        assert r.exit_code == 1
+        assert "pathmnist" in r.output

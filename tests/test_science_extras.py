@@ -1,0 +1,180 @@
+"""Tests for statistical comparison, gradient alignment, tail truncation."""
+
+import numpy as np
+import pytest
+
+from vision_spectra_tpu.spectral.gradient_alignment import (
+    GradientAlignmentTracker,
+    aggregate_alignment,
+    compute_gradient_alignment,
+    compute_model_alignment,
+    rank_reducing_direction,
+)
+from vision_spectra_tpu.spectral.statistical import (
+    compare_groups,
+    format_comparison_table,
+    pairwise_comparisons,
+    summary_statistics,
+    validate_hypothesis,
+)
+from vision_spectra_tpu.spectral.tail_truncation import (
+    analyze_truncation_results,
+    run_truncation_experiment,
+    truncate_attention_weights,
+    truncate_matrix_by_energy,
+    truncate_matrix_by_ratio,
+)
+
+
+class TestStatistical:
+    def test_distinct_groups_significant(self):
+        rng = np.random.RandomState(0)
+        a = rng.normal(0, 0.1, 30)
+        b = rng.normal(1, 0.1, 30)
+        r = compare_groups(a, b, "a", "b", "metric")
+        assert r.significant
+        assert r.p_value < 1e-6
+        assert abs(r.cohens_d) > 2
+
+    def test_identical_groups_not_significant(self):
+        rng = np.random.RandomState(1)
+        a = rng.normal(0, 1, 30)
+        b = rng.normal(0, 1, 30)
+        r = compare_groups(a, b)
+        assert not r.significant
+
+    def test_paired(self):
+        a = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+        r = compare_groups(a, a + 0.5, paired=True)
+        assert r.p_value < 0.05
+
+    def test_pairwise_and_table(self):
+        groups = {
+            "A": {"alpha": [0.1, 0.2, 0.15]},
+            "B": {"alpha": [0.5, 0.6, 0.55]},
+        }
+        results = pairwise_comparisons(groups)
+        assert len(results) == 1
+        md = format_comparison_table(results)
+        assert "alpha" in md and "|" in md
+
+    def test_summary_statistics(self):
+        s = summary_statistics([1.0, 2.0, 3.0, np.nan])
+        assert s["mean"] == pytest.approx(2.0)
+        assert s["n"] == 3
+
+    def test_validate_hypothesis(self):
+        metrics = {
+            "A": {"alpha_final": [0.1], "stable_rank_final": [50.0]},
+            "B": {"alpha_final": [0.4], "stable_rank_final": [30.0]},
+            "C": {"alpha_final": [0.6]},
+        }
+        checks = validate_hypothesis(metrics)
+        assert checks["B_alpha_gt_A"]["supported"] is True
+        assert checks["B_sr_lt_A"]["supported"] is True
+        assert checks["C_alpha_gt_B"]["supported"] is True
+        assert checks["overall"]["num_supported"] == 3
+
+
+class TestGradientAlignment:
+    def test_direction_is_orthonormal_factor(self):
+        rng = np.random.RandomState(0)
+        w = rng.randn(16, 16)
+        d = rank_reducing_direction(w)
+        # U Vᵀ is orthogonal: dᵀd = I
+        np.testing.assert_allclose(d.T @ d, np.eye(16), atol=1e-8)
+
+    def test_alignment_with_itself(self):
+        rng = np.random.RandomState(0)
+        w = rng.randn(16, 16)
+        d = rank_reducing_direction(w)
+        r = compute_gradient_alignment(w, d)
+        assert r["cosine_similarity"] == pytest.approx(1.0, abs=1e-6)
+        assert r["angle_degrees"] == pytest.approx(0.0, abs=1e-3)
+
+    def test_antialignment(self):
+        rng = np.random.RandomState(0)
+        w = rng.randn(16, 16)
+        d = rank_reducing_direction(w)
+        r = compute_gradient_alignment(w, -d)
+        assert r["cosine_similarity"] == pytest.approx(-1.0, abs=1e-6)
+
+    def test_model_sweep_and_tracker(self):
+        rng = np.random.RandomState(2)
+        params = {"a": {"kernel": rng.randn(8, 8)}, "b": {"bias": rng.randn(8)}}
+        grads = {"a": {"kernel": rng.randn(8, 8)}, "b": {"bias": rng.randn(8)}}
+        align = compute_model_alignment(params, grads)
+        assert list(align) == ["a.kernel"]  # 1-D bias skipped
+        agg = aggregate_alignment(align)
+        assert agg["num_layers"] == 1
+        tracker = GradientAlignmentTracker()
+        tracker.record_step(params, grads, step=0)
+        tracker.record_step(params, grads, step=5)
+        steps, vals = tracker.get_history()
+        assert steps == [0, 5]
+
+
+class TestTailTruncation:
+    def test_ratio_truncation_reduces_rank(self):
+        rng = np.random.RandomState(0)
+        w = rng.randn(20, 20)
+        t = truncate_matrix_by_ratio(w, 0.5)
+        assert np.linalg.matrix_rank(t) <= 10
+        # full retention is identity
+        np.testing.assert_array_equal(truncate_matrix_by_ratio(w, 1.0), w)
+
+    def test_energy_truncation(self):
+        s = np.array([10.0, 1.0, 0.1, 0.01])
+        u = np.eye(4)
+        w = u @ np.diag(s) @ u
+        t = truncate_matrix_by_energy(w, 0.99)
+        # top-1 eigenvalue carries ~99% of energy
+        kept = np.linalg.svd(t, compute_uv=False)
+        assert (kept > 1e-9).sum() == 1
+
+    def test_params_surgery_targets_attention_only(self):
+        rng = np.random.RandomState(1)
+        params = {
+            "blocks_0": {
+                "attn": {
+                    "qkv": {"kernel": rng.randn(16, 48)},
+                    "proj": {"kernel": rng.randn(16, 16)},
+                },
+                "mlp": {"fc1": {"kernel": rng.randn(16, 64)}},
+            }
+        }
+        out = truncate_attention_weights(params, keep_ratio=0.25)
+        qkv_rank = np.linalg.matrix_rank(out["blocks_0"]["attn"]["qkv"]["kernel"])
+        assert qkv_rank <= 4
+        np.testing.assert_array_equal(
+            out["blocks_0"]["mlp"]["fc1"]["kernel"],
+            params["blocks_0"]["mlp"]["fc1"]["kernel"],
+        )
+
+    def test_experiment_and_analysis(self, tmp_path):
+        rng = np.random.RandomState(2)
+        params = {"attn": {"qkv": {"kernel": rng.randn(8, 24)}}}
+
+        def fake_eval(p):
+            # accuracy degrades with truncation level via matrix distortion
+            w = p["attn"]["qkv"]["kernel"]
+            dist = np.linalg.norm(w - params["attn"]["qkv"]["kernel"])
+            return max(0.0, 1.0 - 0.1 * dist)
+
+        exp = run_truncation_experiment(
+            params, fake_eval, retention_levels=[1.0, 0.5, 0.1]
+        )
+        assert exp["levels"][0]["accuracy_drop"] == 0.0
+        assert exp["levels"][-1]["accuracy_drop"] >= exp["levels"][1]["accuracy_drop"]
+        analysis = analyze_truncation_results(exp)
+        assert "interpretation" in analysis
+        from vision_spectra_tpu.spectral.tail_truncation import save_truncation_report
+
+        path = save_truncation_report(exp, analysis, tmp_path / "report.json")
+        assert path.exists()
+
+    def test_invalid_args(self):
+        with pytest.raises(ValueError):
+            truncate_attention_weights({}, keep_ratio=0.5, energy=0.5)
+        with pytest.raises(ValueError):
+            truncate_attention_weights({})

@@ -123,6 +123,9 @@ def _common_options(defaults):
 @click.version_option(__version__, "--version")
 def main() -> None:
     """vision-spectra: TPU-native ViT training with spectral analysis."""
+    from vision_spectra_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 @main.command("train-cls")

@@ -206,13 +206,20 @@ def extract_and_analyze_weights(params: Any) -> dict[str, Any]:
     )
     per_layer_metrics: dict[str, dict[str, float]] = {}
     singular_values: dict[str, list[float]] = {}
-    for shape, group in group_weights_by_shape(weights).items():
-        if len(shape) != 2:
+    # Orientation-normalized grouping: SVs are transpose-invariant, so the
+    # mlp_up/mlp_down pairs share one batched SVD dispatch + compilation.
+    canonical: dict[tuple[int, int], list] = {}
+    for w in weights:
+        if len(w.shape) != 2:
             continue
-        stack = np.stack([np.asarray(w.weight, np.float32) for w in group])
-        svs, metric_dicts = batched_spectral_metrics(stack)
-        for w, s, m in zip(group, svs, metric_dicts):
-            per_layer_metrics[w.name] = m
+        m, n = w.shape
+        canonical.setdefault((min(m, n), max(m, n)), []).append(w)
+    for (m, n), group in canonical.items():
+        mats = [jnp.asarray(w.weight, jnp.float32) for w in group]
+        mats = [x if x.shape == (m, n) else x.T for x in mats]
+        svs, metric_dicts = batched_spectral_metrics(jnp.stack(mats))
+        for w, s, md in zip(group, svs, metric_dicts):
+            per_layer_metrics[w.name] = md
             singular_values[w.name] = np.asarray(s, np.float64).tolist()
     aggregated = aggregate_spectral_metrics(list(per_layer_metrics.values()))
     return {
@@ -358,8 +365,11 @@ def run_scenario_experiment(
             state = TrainState.create(params, tx)
             lr = jnp.float32(config.learning_rate)
 
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def train_step(state, images_u8, labels, key):
+            # Metrics accumulate on device; ONE 1-D fetch per epoch (remote
+            # TPU links pay a round trip per fetch; 0-d fetches are
+            # pathologically slow — utils/transfer.py).
+            @functools.partial(jax.jit, donate_argnums=(0, 4))
+            def train_step(state, images_u8, labels, key, acc):
                 k_aug, k_drop = jax.random.split(key)
                 images = train_augment(images_u8, k_aug, num_channels=3)
 
@@ -377,14 +387,18 @@ def run_scenario_experiment(
                 )(state.params)
                 state = apply_updates(state, grads, tx, lr, None)
                 correct = jnp.sum(jnp.argmax(logits, -1) == labels)
-                return state, loss, correct
+                n = labels.shape[0]
+                acc = acc + jnp.stack(
+                    [loss, correct.astype(jnp.float32), jnp.float32(n)]
+                )
+                return state, acc
 
-            @jax.jit
-            def eval_step(state, images_u8, labels, mask):
+            @functools.partial(jax.jit, donate_argnums=(4,))
+            def eval_step(state, images_u8, labels, mask, acc):
                 images = eval_transform(images_u8, num_channels=3)
                 logits = model.apply({"params": state.params}, images)
                 correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
-                return correct
+                return acc + jnp.stack([correct, jnp.sum(mask)])
 
             metrics_history: dict[int, dict[str, float]] = {}
 
@@ -411,32 +425,29 @@ def run_scenario_experiment(
             train_accuracy = 0.0
             global_step = 0
             for epoch in range(1, config.epochs + 1):
-                train_loss_sum = 0.0
-                train_correct = 0
-                train_total = 0
+                acc = jnp.zeros((3,), jnp.float32)
+                num_batches = 0
                 for batch in train_loader:
-                    state, loss, correct = train_step(
+                    state, acc = train_step(
                         state,
                         batch.images,
                         batch.labels,
                         jax.random.fold_in(base_key, global_step),
+                        acc,
                     )
                     global_step += 1
-                    n = len(batch.labels)
-                    train_loss_sum += float(loss)
-                    train_correct += int(correct)
-                    train_total += n
-                avg_train_loss = train_loss_sum / max(1, len(train_loader))
-                train_accuracy = 100.0 * train_correct / max(1, train_total)
+                    num_batches += 1
+                loss_sum, train_correct, train_total = np.asarray(acc)
+                avg_train_loss = float(loss_sum) / max(1, num_batches)
+                train_accuracy = 100.0 * float(train_correct) / max(1.0, train_total)
 
-                val_correct = 0
-                val_total = 0
+                vacc = jnp.zeros((2,), jnp.float32)
                 for batch in val_loader:
-                    val_correct += int(
-                        eval_step(state, batch.images, batch.labels, batch.mask)
+                    vacc = eval_step(
+                        state, batch.images, batch.labels, batch.mask, vacc
                     )
-                    val_total += int(batch.mask.sum())
-                val_accuracy = 100.0 * val_correct / max(1, val_total)
+                val_correct, val_total = np.asarray(vacc)
+                val_accuracy = 100.0 * float(val_correct) / max(1.0, val_total)
                 final_accuracy = val_accuracy
                 best_val_accuracy = max(best_val_accuracy, val_accuracy)
 

@@ -84,11 +84,14 @@ def _canonical_path(path: tuple) -> str:
     return ".".join(parts)
 
 
-def _flatten_params(params: Any) -> list[tuple[str, np.ndarray]]:
+def _flatten_params(params: Any) -> list[tuple[str, Any]]:
     """Flatten a params pytree to (dotted_name, array) pairs.
 
     Accepts a raw params dict, a flax variables dict (with a top-level
     'params' collection), or a TrainState-like object with ``.params``.
+    Device arrays are kept on device (transposes below are lazy) so the
+    batched-SVD path runs without any host round trip; numpy inputs pass
+    through unchanged.
     """
     if hasattr(params, "params"):
         params = params.params
@@ -98,7 +101,7 @@ def _flatten_params(params: Any) -> list[tuple[str, np.ndarray]]:
     out = []
     for path, leaf in leaves:
         name = _canonical_path(path)
-        out.append((name, np.asarray(leaf)))
+        out.append((name, leaf))
     return out
 
 

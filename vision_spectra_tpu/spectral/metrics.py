@@ -285,38 +285,45 @@ def metrics_from_singular_values(s, m: int | None = None):
 def _batched_spectra(stack, compute_metrics: bool = True):
     """SVD a stack of same-shape matrices and optionally compute metrics.
 
-    ``stack``: [G, m, n] float32. Returns (singular_values [G, min(m,n)],
-    metrics dict of [G] vectors or None).
+    ``stack``: [G, m, n] float32. Returns one packed [G, k+4] array:
+    columns [0:k] are the descending singular values, columns [k:k+4] the four
+    metrics in METRIC_KEYS order. Packing everything into a single output
+    keeps the device→host cost at ONE transfer per call (remote-TPU links pay
+    a full round trip per fetched array, and 0-d fetches are pathologically
+    slow — see utils/transfer.py).
     """
     stack = stack.astype(jnp.float32)
     s = jnp.linalg.svd(stack, compute_uv=False)  # [G, min(m, n)], descending
     if not compute_metrics:
-        return s, None
+        return s
     m = s.shape[-1]
     metrics = jax.vmap(lambda row: metrics_from_singular_values(row, m))(s)
-    return s, metrics
+    packed = jnp.concatenate(
+        [s] + [metrics[k][:, None] for k in METRIC_KEYS], axis=1
+    )
+    return packed
 
 
 def batched_singular_values(stack) -> np.ndarray:
     """Device-batched SVD spectra for a [G, m, n] stack; returns numpy [G, k]."""
-    s, _ = _batched_spectra(stack, compute_metrics=False)
-    return np.asarray(s)
+    return np.asarray(_batched_spectra(jnp.asarray(stack), compute_metrics=False))
 
 
 def batched_spectral_metrics(stack) -> tuple[np.ndarray, list[dict[str, float]]]:
     """Device-batched spectra + metrics for a stack of same-shape matrices.
 
     Args:
-        stack: array-like [G, m, n] (any float dtype).
+        stack: array-like [G, m, n] (numpy or device-resident; any float dtype).
 
     Returns:
         (singular_values [G, min(m,n)] numpy,
          list of G per-matrix metric dicts with float values)
     """
-    s, metrics = _batched_spectra(np.asarray(stack), compute_metrics=True)
-    s = np.asarray(s)
-    metrics = {k: np.asarray(v) for k, v in metrics.items()}
+    packed = np.asarray(_batched_spectra(jnp.asarray(stack), compute_metrics=True))
+    k = packed.shape[1] - len(METRIC_KEYS)
+    s = packed[:, :k]
     per_matrix = [
-        {k: float(metrics[k][g]) for k in METRIC_KEYS} for g in range(s.shape[0])
+        {key: float(packed[g, k + j]) for j, key in enumerate(METRIC_KEYS)}
+        for g in range(packed.shape[0])
     ]
     return s, per_matrix

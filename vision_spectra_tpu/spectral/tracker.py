@@ -130,14 +130,27 @@ def compute_distributions(
                 out.append(d)
         return out
 
-    by_name: dict[str, SpectralDistribution] = {}
-    for shape, group in group_weights_by_shape(weights).items():
-        if len(shape) != 2:
+    import jax.numpy as jnp
+
+    # Group by orientation-normalized shape: singular values are transpose
+    # invariant, so [768, 192] and [192, 768] matrices share one batched SVD
+    # dispatch (and one compilation — TPU SVD compiles are expensive).
+    canonical: dict[tuple[int, int], list] = {}
+    for w in weights:
+        if len(w.shape) != 2:
             continue
-        stack = np.stack([np.asarray(w.weight, dtype=np.float32) for w in group])
-        svs, metric_dicts = batched_spectral_metrics(stack)
-        for w, s, m in zip(group, svs, metric_dicts):
-            by_name[w.name] = _distribution_from_svs(s, w.name, w.matrix_type, m)
+        m, n = w.shape
+        canonical.setdefault((min(m, n), max(m, n)), []).append(w)
+
+    by_name: dict[str, SpectralDistribution] = {}
+    for (m, n), group in canonical.items():
+        mats = [
+            jnp.asarray(w.weight, dtype=jnp.float32) for w in group
+        ]
+        mats = [x if x.shape == (m, n) else x.T for x in mats]
+        svs, metric_dicts = batched_spectral_metrics(jnp.stack(mats))
+        for w, s, mm in zip(group, svs, metric_dicts):
+            by_name[w.name] = _distribution_from_svs(s, w.name, w.matrix_type, mm)
     # Preserve input order.
     return [by_name[w.name] for w in weights if w.name in by_name]
 

@@ -106,6 +106,9 @@ class BaseTrainer:
         self.best_val_metric = float("inf")
         self.best_epoch = -1
         self.current_epoch = 0
+        # Host-side mirror of state.step: reading the device scalar would cost
+        # a tunnel round trip per step (see utils/transfer.py).
+        self.global_step = 0
         self._build_step_fns()
 
     # -- construction hooks --------------------------------------------------
@@ -176,8 +179,9 @@ class BaseTrainer:
                 tracking.log_metrics(
                     {f"val/{k}": v for k, v in val_metrics.items()}, step=epoch
                 )
-                tracking.log_metric("lr", self.schedule.lr_for_step(
-                    int(self.state.step)), step=epoch)
+                tracking.log_metric(
+                    "lr", self.schedule.lr_for_step(self.global_step), step=epoch
+                )
                 tracking.log_metric("epoch_time", dt, step=epoch)
 
                 if self._should_log_spectral(epoch):

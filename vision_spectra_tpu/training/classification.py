@@ -2,9 +2,14 @@
 
 Reference behavior: vision_spectra/training/classification.py:28-205. The
 whole per-batch pipeline — uint8→float augmentation, forward, loss, backward,
-global-norm clip, optimizer — is ONE jitted program with donated state; the
-eval step streams a confusion matrix on device and returns probabilities for
-host-side macro AUROC.
+global-norm clip, optimizer — is ONE jitted program with donated state.
+
+Remote-TPU discipline: the train step carries a device-side accumulator
+``[loss_sum, correct, count]`` through the epoch and the host fetches it ONCE
+per epoch as a 1-D array (per-step scalar fetches pay a full tunnel round
+trip each — see utils/transfer.py). Similarly, eval streams a confusion
+matrix + loss on device and concatenates probabilities on device before a
+single fetch for host-side macro AUROC.
 
 Tracked metrics: train loss/accuracy; val loss/accuracy/f1_macro/auroc.
 Model selection: min val loss (reference: classification.py:183-186).
@@ -39,8 +44,8 @@ class ClassificationTrainer(BaseTrainer):
         num_channels = self.info.num_channels
         num_classes = self.info.num_classes
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, images_u8, labels, key, lr, lr_mult):
+        @functools.partial(jax.jit, donate_argnums=(0, 6))
+        def train_step(state, images_u8, labels, key, lr, lr_mult, acc):
             k_aug, k_drop, k_mask = jax.random.split(key, 3)
             images = train_augment(images_u8, k_aug, num_channels=num_channels)
 
@@ -57,79 +62,87 @@ class ClassificationTrainer(BaseTrainer):
                 state.params
             )
             state = apply_updates(state, grads, tx, lr, lr_mult)
+            n = labels.shape[0]
             correct = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
-            return state, {"loss": loss, "correct": correct}
+            acc = acc + jnp.stack(
+                [loss * n, correct.astype(jnp.float32), jnp.float32(n)]
+            )
+            return state, acc
 
-        @jax.jit
-        def eval_step(state, images_u8, labels, mask, cm):
+        @functools.partial(jax.jit, donate_argnums=(4,))
+        def eval_step(state, images_u8, labels, mask, stats):
+            """stats: [1 + C*C] = [loss_sum, cm.ravel()]. Returns stats, probs."""
             images = eval_transform(images_u8, num_channels=num_channels)
             logits = model.apply({"params": state.params}, images)
-            probs = jax.nn.softmax(logits, axis=-1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             per_sample = -jnp.take_along_axis(
                 jax.nn.log_softmax(logits, axis=-1), labels[:, None], axis=-1
             )[:, 0]
             loss_sum = jnp.sum(per_sample * mask)
             preds = jnp.argmax(logits, axis=-1)
-            cm = confusion_matrix_update(cm, preds, labels, mask)
-            return loss_sum, cm, probs
+            cm = confusion_matrix_update(
+                stats[1:].reshape(num_classes, num_classes), preds, labels, mask
+            )
+            stats = jnp.concatenate([(stats[0] + loss_sum)[None], cm.ravel()])
+            return stats, probs
 
         self._train_step = train_step
         self._eval_step = eval_step
         self._num_classes = num_classes
 
     def train_epoch(self, epoch: int) -> dict[str, float]:
-        total_loss = 0.0
-        total_correct = 0
-        total_seen = 0
+        acc = jnp.zeros((3,), jnp.float32)
         for i, batch in enumerate(self.train_loader):
             if i >= self.num_train_batches:
                 break
-            step = int(self.state.step)
-            lr = jnp.float32(self.schedule.lr_for_step(step))
-            self.state, metrics = self._train_step(
+            lr = jnp.float32(self.schedule.lr_for_step(self.global_step))
+            self.state, acc = self._train_step(
                 self.state,
                 batch.images,
                 batch.labels,
-                self.step_key(step),
+                self.step_key(self.global_step),
                 lr,
                 self.lr_mult,
+                acc,
             )
-            total_loss += float(metrics["loss"]) * len(batch.labels)
-            total_correct += int(metrics["correct"])
-            total_seen += len(batch.labels)
+            self.global_step += 1
+        loss_sum, correct, count = np.asarray(acc)  # single device fetch
         return {
-            "loss": total_loss / max(total_seen, 1),
-            "accuracy": total_correct / max(total_seen, 1),
+            "loss": float(loss_sum) / max(count, 1),
+            "accuracy": float(correct) / max(count, 1),
         }
 
     def validate(self) -> dict[str, float]:
         c = self._num_classes
-        cm = jnp.zeros((c, c), jnp.float32)
-        loss_sum = 0.0
-        all_probs: list[np.ndarray] = []
-        all_labels: list[np.ndarray] = []
-        all_masks: list[np.ndarray] = []
+        stats = jnp.zeros((1 + c * c,), jnp.float32)
+        probs_parts = []
+        labels_parts = []
+        mask_parts = []
         for i, batch in enumerate(self.val_loader):
             if i >= self.num_val_batches:
                 break
-            ls, cm, probs = self._eval_step(
-                self.state, batch.images, batch.labels, batch.mask, cm
+            stats, probs = self._eval_step(
+                self.state, batch.images, batch.labels, batch.mask, stats
             )
-            loss_sum += float(ls)
-            all_probs.append(np.asarray(probs))
-            all_labels.append(batch.labels)
-            all_masks.append(batch.mask)
-        cm_np = np.asarray(cm)
-        n = cm_np.sum()
-        probs = np.concatenate(all_probs) if all_probs else np.zeros((0, c))
-        labels = np.concatenate(all_labels) if all_labels else np.zeros(0, np.int32)
-        masks = np.concatenate(all_masks) if all_masks else np.zeros(0)
-        valid = masks > 0
+            probs_parts.append(probs)  # stays on device
+            labels_parts.append(batch.labels)
+            mask_parts.append(batch.mask)
+        stats_np = np.asarray(stats)  # one fetch
+        cm = stats_np[1:].reshape(c, c)
+        n = cm.sum()
+        if probs_parts:
+            probs = np.asarray(jnp.concatenate(probs_parts))  # one fetch
+            labels = np.concatenate(labels_parts)
+            masks = np.concatenate(mask_parts)
+            valid = masks > 0
+            auroc = macro_auroc(probs[valid], labels[valid], c)
+        else:
+            auroc = float("nan")
         return {
-            "loss": loss_sum / max(n, 1),
-            "accuracy": accuracy_from_cm(cm_np),
-            "f1_macro": macro_f1_from_cm(cm_np),
-            "auroc": macro_auroc(probs[valid], labels[valid], c),
+            "loss": float(stats_np[0]) / max(n, 1),
+            "accuracy": accuracy_from_cm(cm),
+            "f1_macro": macro_f1_from_cm(cm),
+            "auroc": auroc,
         }
 
     def _save_examples(self, epoch: int) -> None:
@@ -140,12 +153,13 @@ class ClassificationTrainer(BaseTrainer):
         images = eval_transform(batch.images, num_channels=self.info.num_channels)
         logits = self.model.apply({"params": self.state.params}, images)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        images = np.asarray(images)
         preds = probs.argmax(axis=-1)
         valid = batch.mask > 0
         for mode in ("all", "correct", "incorrect"):
             path = self.temp_dir / f"predictions_{mode}.png"
             out = save_prediction_examples(
-                np.asarray(images)[valid],
+                images[valid],
                 batch.labels[valid],
                 preds[valid],
                 probs[valid],

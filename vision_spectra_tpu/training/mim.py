@@ -2,7 +2,8 @@
 
 Reference behavior: vision_spectra/training/mim.py:25-166 — loss-only loops
 (the model computes its own reconstruction loss; labels are ignored), with
-reconstruction-example grids logged instead of prediction grids.
+reconstruction-example grids logged instead of prediction grids. Metrics
+accumulate on device; one fetch per epoch (see classification.py docstring).
 """
 
 from __future__ import annotations
@@ -26,8 +27,8 @@ class MIMTrainer(BaseTrainer):
         num_channels = self.info.num_channels
         mask_ratio = self.config.model.mask_ratio
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, images_u8, key, lr, lr_mult):
+        @functools.partial(jax.jit, donate_argnums=(0, 4))
+        def train_step(state, images_u8, key, lr, acc, lr_mult):
             k_aug, k_drop, k_mask = jax.random.split(key, 3)
             images = mim_augment(images_u8, k_aug, num_channels=num_channels)
 
@@ -43,64 +44,74 @@ class MIMTrainer(BaseTrainer):
 
             loss, grads = jax.value_and_grad(compute_loss)(state.params)
             state = apply_updates(state, grads, tx, lr, lr_mult)
-            return state, {"loss": loss}
+            acc = acc + jnp.stack([loss, jnp.float32(1.0)])
+            return state, acc
 
-        @jax.jit
-        def eval_step(state, images_u8, mask, key):
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def eval_step(state, images_u8, key, acc):
             images = eval_transform(images_u8, num_channels=num_channels)
-            loss, pred, patch_mask = model.apply(
+            loss, _pred, _mask = model.apply(
                 {"params": state.params},
                 images,
                 mask_ratio,
                 rngs={"mask": key},
             )
-            # loss is already masked-mean over the batch; weight by batch
-            # validity fraction for padded eval batches.
-            return loss, pred, patch_mask
+            return acc + jnp.stack([loss, jnp.float32(1.0)])
+
+        @jax.jit
+        def recon_step(state, images_u8, key):
+            images = eval_transform(images_u8, num_channels=num_channels)
+            _loss, pred, mask = model.apply(
+                {"params": state.params},
+                images,
+                mask_ratio,
+                rngs={"mask": key},
+            )
+            return images, pred, mask
 
         self._train_step = train_step
         self._eval_step = eval_step
+        self._recon_step = recon_step
 
     def train_epoch(self, epoch: int) -> dict[str, float]:
-        total_loss = 0.0
-        total_seen = 0
+        acc = jnp.zeros((2,), jnp.float32)
         for i, batch in enumerate(self.train_loader):
             if i >= self.num_train_batches:
                 break
-            step = int(self.state.step)
-            lr = jnp.float32(self.schedule.lr_for_step(step))
-            self.state, metrics = self._train_step(
-                self.state, batch.images, self.step_key(step), lr, self.lr_mult
+            lr = jnp.float32(self.schedule.lr_for_step(self.global_step))
+            self.state, acc = self._train_step(
+                self.state,
+                batch.images,
+                self.step_key(self.global_step),
+                lr,
+                acc,
+                self.lr_mult,
             )
-            n = len(batch.images)
-            total_loss += float(metrics["loss"]) * n
-            total_seen += n
-        return {"loss": total_loss / max(total_seen, 1)}
+            self.global_step += 1
+        loss_sum, batches = np.asarray(acc)
+        return {"loss": float(loss_sum) / max(batches, 1)}
 
     def validate(self) -> dict[str, float]:
-        total_loss = 0.0
-        batches = 0
+        acc = jnp.zeros((2,), jnp.float32)
         for i, batch in enumerate(self.val_loader):
             if i >= self.num_val_batches:
                 break
-            loss, _pred, _mask = self._eval_step(
+            acc = self._eval_step(
                 self.state,
                 batch.images,
-                batch.mask,
                 jax.random.fold_in(self._base_key, 10_000_000 + i),
+                acc,
             )
-            total_loss += float(loss)
-            batches += 1
-        return {"loss": total_loss / max(batches, 1)}
+        loss_sum, batches = np.asarray(acc)
+        return {"loss": float(loss_sum) / max(batches, 1)}
 
     def _save_examples(self, epoch: int) -> None:
         """Reconstruction grids (reference: mim.py:46-73)."""
         batch = next(iter(self.val_loader), None)
         if batch is None:
             return
-        images = eval_transform(batch.images, num_channels=self.info.num_channels)
-        _loss, pred, mask = self._eval_step(
-            self.state, batch.images, batch.mask, jax.random.fold_in(self._base_key, 99)
+        images, pred, mask = self._recon_step(
+            self.state, batch.images, jax.random.fold_in(self._base_key, 99)
         )
         recon = self.model.apply(
             {"params": self.state.params}, pred, method=self.model.reconstruct

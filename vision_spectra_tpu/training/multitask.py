@@ -3,7 +3,8 @@
 Reference behavior: vision_spectra/training/multitask.py:27-297 —
 ``loss = cls_weight · cls_loss + mim_weight · mim_loss`` computed from the
 model's ``forward_multitask`` in one step; tracks loss/cls_loss/mim_loss/
-accuracy (plus f1 on val).
+accuracy (plus f1 on val). Device-side metric accumulation, one fetch per
+epoch (see classification.py docstring).
 """
 
 from __future__ import annotations
@@ -39,8 +40,9 @@ class MultitaskTrainer(BaseTrainer):
         mim_w = self.config.loss.mtl_mim_weight
         mask_ratio = self.config.model.mask_ratio
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, images_u8, labels, key, lr, lr_mult):
+        @functools.partial(jax.jit, donate_argnums=(0, 6))
+        def train_step(state, images_u8, labels, key, lr, lr_mult, acc):
+            """acc: [total·n, cls·n, mim·n, correct, n] sums."""
             k_aug, k_drop, k_mask = jax.random.split(key, 3)
             images = train_augment(images_u8, k_aug, num_channels=num_channels)
 
@@ -61,18 +63,24 @@ class MultitaskTrainer(BaseTrainer):
                 compute_loss, has_aux=True
             )(state.params)
             state = apply_updates(state, grads, tx, lr, lr_mult)
+            n = labels.shape[0]
             correct = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
-            return state, {
-                "loss": total,
-                "cls_loss": cls_loss,
-                "mim_loss": mim_loss,
-                "correct": correct,
-            }
+            acc = acc + jnp.stack(
+                [
+                    total * n,
+                    cls_loss * n,
+                    mim_loss * n,
+                    correct.astype(jnp.float32),
+                    jnp.float32(n),
+                ]
+            )
+            return state, acc
 
-        @jax.jit
-        def eval_step(state, images_u8, labels, mask, cm, key):
+        @functools.partial(jax.jit, donate_argnums=(5,))
+        def eval_step(state, images_u8, labels, mask, key, stats):
+            """stats: [cls_loss_sum, mim_loss_sum, batches, cm.ravel()]."""
             images = eval_transform(images_u8, num_channels=num_channels)
-            logits, mim_loss, pred, patch_mask = model.apply(
+            logits, mim_loss, _pred, _mask = model.apply(
                 {"params": state.params},
                 images,
                 mode="multitask",
@@ -84,70 +92,84 @@ class MultitaskTrainer(BaseTrainer):
             )[:, 0]
             cls_loss_sum = jnp.sum(per_sample * mask)
             preds = jnp.argmax(logits, axis=-1)
-            cm = confusion_matrix_update(cm, preds, labels, mask)
-            return cls_loss_sum, mim_loss, cm, pred, patch_mask
+            cm = confusion_matrix_update(
+                stats[3:].reshape(num_classes, num_classes), preds, labels, mask
+            )
+            head = jnp.stack(
+                [stats[0] + cls_loss_sum, stats[1] + mim_loss, stats[2] + 1.0]
+            )
+            return jnp.concatenate([head, cm.ravel()])
+
+        @jax.jit
+        def recon_step(state, images_u8, key):
+            images = eval_transform(images_u8, num_channels=num_channels)
+            logits, _mim_loss, pred, patch_mask = model.apply(
+                {"params": state.params},
+                images,
+                mode="multitask",
+                mask_ratio=mask_ratio,
+                rngs={"mask": key},
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return images, probs, pred, patch_mask
 
         self._train_step = train_step
         self._eval_step = eval_step
+        self._recon_step = recon_step
         self._num_classes = num_classes
         self._cls_w, self._mim_w = cls_w, mim_w
 
     def train_epoch(self, epoch: int) -> dict[str, float]:
-        sums = {"loss": 0.0, "cls_loss": 0.0, "mim_loss": 0.0}
-        total_correct = 0
-        total_seen = 0
+        acc = jnp.zeros((5,), jnp.float32)
         for i, batch in enumerate(self.train_loader):
             if i >= self.num_train_batches:
                 break
-            step = int(self.state.step)
-            lr = jnp.float32(self.schedule.lr_for_step(step))
-            self.state, metrics = self._train_step(
+            lr = jnp.float32(self.schedule.lr_for_step(self.global_step))
+            self.state, acc = self._train_step(
                 self.state,
                 batch.images,
                 batch.labels,
-                self.step_key(step),
+                self.step_key(self.global_step),
                 lr,
                 self.lr_mult,
+                acc,
             )
-            n = len(batch.labels)
-            for k in sums:
-                sums[k] += float(metrics[k]) * n
-            total_correct += int(metrics["correct"])
-            total_seen += n
-        out = {k: v / max(total_seen, 1) for k, v in sums.items()}
-        out["accuracy"] = total_correct / max(total_seen, 1)
-        return out
+            self.global_step += 1
+        total, cls, mim, correct, n = np.asarray(acc)
+        n = max(n, 1)
+        return {
+            "loss": float(total) / n,
+            "cls_loss": float(cls) / n,
+            "mim_loss": float(mim) / n,
+            "accuracy": float(correct) / n,
+        }
 
     def validate(self) -> dict[str, float]:
         c = self._num_classes
-        cm = jnp.zeros((c, c), jnp.float32)
-        cls_loss_sum = 0.0
-        mim_loss_sum = 0.0
-        batches = 0
+        stats = jnp.zeros((3 + c * c,), jnp.float32)
         for i, batch in enumerate(self.val_loader):
             if i >= self.num_val_batches:
                 break
-            ls, ml, cm, _pred, _mask = self._eval_step(
+            stats = self._eval_step(
                 self.state,
                 batch.images,
                 batch.labels,
                 batch.mask,
-                cm,
                 jax.random.fold_in(self._base_key, 20_000_000 + i),
+                stats,
             )
-            cls_loss_sum += float(ls)
-            mim_loss_sum += float(ml)
-            batches += 1
-        cm_np = np.asarray(cm)
-        n = cm_np.sum()
-        cls_loss = cls_loss_sum / max(n, 1)
-        mim_loss = mim_loss_sum / max(batches, 1)
+        stats_np = np.asarray(stats)
+        cm = stats_np[3:].reshape(c, c)
+        n = max(cm.sum(), 1)
+        batches = max(stats_np[2], 1)
+        cls_loss = float(stats_np[0]) / n
+        mim_loss = float(stats_np[1]) / batches
         return {
             "loss": self._cls_w * cls_loss + self._mim_w * mim_loss,
             "cls_loss": cls_loss,
             "mim_loss": mim_loss,
-            "accuracy": accuracy_from_cm(cm_np),
-            "f1_macro": macro_f1_from_cm(cm_np),
+            "accuracy": accuracy_from_cm(cm),
+            "f1_macro": macro_f1_from_cm(cm),
         }
 
     def _save_examples(self, epoch: int) -> None:
@@ -158,14 +180,14 @@ class MultitaskTrainer(BaseTrainer):
         batch = next(iter(self.val_loader), None)
         if batch is None:
             return
-        images = eval_transform(batch.images, num_channels=self.info.num_channels)
-        logits = self.model.apply(
-            {"params": self.state.params}, images, mode="classification"
+        images, probs, pred, patch_mask = self._recon_step(
+            self.state, batch.images, jax.random.fold_in(self._base_key, 98)
         )
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        images = np.asarray(images)
+        probs = np.asarray(probs)
         valid = batch.mask > 0
         out = save_prediction_examples(
-            np.asarray(images)[valid],
+            images[valid],
             batch.labels[valid],
             probs.argmax(axis=-1)[valid],
             probs[valid],
@@ -176,22 +198,14 @@ class MultitaskTrainer(BaseTrainer):
         if out is not None:
             tracking.log_artifact(out, artifact_path="examples")
 
-        _ls, _ml, _cm, pred, patch_mask = self._eval_step(
-            self.state,
-            batch.images,
-            batch.labels,
-            batch.mask,
-            jnp.zeros((self._num_classes, self._num_classes), jnp.float32),
-            jax.random.fold_in(self._base_key, 98),
-        )
         enc = self.model.encoder
         recon = unpatchify(
             np.asarray(pred), enc.patch_size, enc.image_size, enc.num_channels
         )
         path = save_mim_examples(
-            np.asarray(images),
+            images,
             np.asarray(patch_mask),
-            recon,
+            np.asarray(recon),
             self.temp_dir / "mim_examples.png",
             patch_size=enc.patch_size,
             num_channels=self.info.num_channels,

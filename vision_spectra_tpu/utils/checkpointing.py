@@ -18,16 +18,11 @@ from pathlib import Path
 from typing import Any
 
 import flax.serialization
-import jax
-import numpy as np
 
 from vision_spectra_tpu.utils.logging import logger
+from vision_spectra_tpu.utils.transfer import fetch_pytree as _to_host
 
 CHECKPOINT_SUFFIX = ".msgpack"
-
-
-def _to_host(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
 def save_checkpoint(
