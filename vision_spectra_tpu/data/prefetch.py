@@ -1,0 +1,66 @@
+"""Background prefetching over a Loader.
+
+Replaces the reference's DataLoader worker processes (reference:
+data/base.py:79-110, ``num_workers``) with a single producer thread: batch
+assembly is a numpy index gather (microseconds) so one thread keeps any
+device fed; batches are optionally pushed to device ahead of time
+(``jax.device_put``) so the host→device copy overlaps the previous step's
+compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+from vision_spectra_tpu.data.base import Batch, Loader
+
+__all__ = ["PrefetchLoader"]
+
+_SENTINEL = object()
+
+
+class PrefetchLoader:
+    """Wraps a Loader with a producer thread and bounded queue."""
+
+    def __init__(
+        self, loader: Loader, prefetch: int = 2, to_device: bool = True
+    ) -> None:
+        self.loader = loader
+        self.prefetch = max(1, prefetch)
+        self.to_device = to_device
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    @property
+    def num_samples(self) -> int:
+        return self.loader.num_samples
+
+    def __iter__(self) -> Iterator[Batch]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def produce() -> None:
+            try:
+                import jax
+
+                for batch in self.loader:
+                    if self.to_device:
+                        batch = Batch(
+                            images=jax.device_put(batch.images),
+                            labels=jax.device_put(batch.labels),
+                            mask=batch.mask,
+                        )
+                    q.put(batch)
+            finally:
+                q.put(_SENTINEL)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        thread.join()

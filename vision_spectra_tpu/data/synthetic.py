@@ -102,9 +102,38 @@ def generate_split(
     image_size: int = 28,
     num_channels: int = 3,
     seed: int = 42,
+    backend: str = "auto",
 ) -> ArraySplit:
-    """Rasterize a full split into an :class:`ArraySplit`."""
+    """Rasterize a full split into an :class:`ArraySplit`.
+
+    ``backend``:
+    - ``"pil"`` — the reference-parity path (identical pixels to the
+      reference's PIL rendering),
+    - ``"native"`` — the C++ rasterizer (vision_spectra_tpu/native), ~40×
+      faster with a bit-identical RNG stream (same labels / colors /
+      geometry parameters) but its own polygon fill rules (statistically
+      equivalent shapes, not pixel-identical to PIL),
+    - ``"auto"`` (default) — ``pil`` unless ``VISION_SPECTRA_NATIVE_RASTER=1``.
+    """
+    import os
+
     num_classes = min(num_classes, len(SHAPES))
+    if backend == "auto":
+        backend = (
+            "native"
+            if os.environ.get("VISION_SPECTRA_NATIVE_RASTER") == "1"
+            else "pil"
+        )
+    if backend == "native":
+        from vision_spectra_tpu import native
+
+        if native.available():
+            images, labels = native.generate_split_native(
+                num_samples, num_classes, image_size, num_channels, seed
+            )
+            return ArraySplit(images, labels)
+        # fall through to PIL when no compiler/library is present
+
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, num_classes, size=num_samples)
     sample_seeds = rng.randint(0, 2**31, size=num_samples)
