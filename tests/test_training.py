@@ -324,3 +324,49 @@ class TestEvalMetrics:
         labels = np.array([0, 1])
         probs = np.array([[0.5, 0.5], [0.5, 0.5]])
         assert macro_auroc(probs, labels, 2) == pytest.approx(0.5)
+
+
+class TestFusedTrainer:
+    def test_fused_epoch_matches_streaming_statistics(self, tmp_path):
+        """Fused-epoch trainer trains and reports sane aggregates."""
+        from vision_spectra_tpu.training.fused import FusedClassificationTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_fused")
+        cfg = cfg.model_copy(
+            update={"training": TrainingConfig(epochs=2, smoke_test=False,
+                                               early_stopping=False)}
+        )
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        model = _build_encoder(cfg, ds.get_info())
+        trainer = FusedClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+        hist = trainer.train()
+        assert 0 < hist["loss"] < 10
+        assert 0 <= hist["accuracy"] <= 1
+        # two epochs of 32//8 = 4 steps
+        assert trainer.global_step == 8
+        trainer.cleanup()
+
+    def test_fused_epoch_fn_counts(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vision_spectra_tpu.config import OptimizerConfig
+        from vision_spectra_tpu.losses import make_cross_entropy
+        from vision_spectra_tpu.training.fused import make_fused_epoch_fn
+        from vision_spectra_tpu.training.state import TrainState, make_optimizer
+
+        model, _ = build_vit("vit_tiny_patch4_28", num_classes=3, image_size=28,
+                             embed_dim=32, depth=1, drop_path_rate=0.0)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))["params"]
+        tx = make_optimizer(OptimizerConfig(), gradient_clip=1.0)
+        state = TrainState.create(params, tx)
+        epoch_fn = make_fused_epoch_fn(model, make_cross_entropy(), tx, batch_size=8)
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.randint(0, 256, (36, 28, 28, 3), dtype=np.uint8))
+        labels = jnp.asarray(rng.randint(0, 3, 36).astype(np.int32))
+        state2, acc = epoch_fn(state, images, labels, jax.random.key(1),
+                               jnp.float32(1e-3))
+        loss_sum, correct, count = np.asarray(acc)
+        assert count == 32  # 36 // 8 * 8 (drop-last)
+        assert int(state2.step) == 4
+        assert np.isfinite(loss_sum)

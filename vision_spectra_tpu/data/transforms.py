@@ -66,7 +66,50 @@ def _affine_grid_sample(images: jnp.ndarray, inv_mats: jnp.ndarray) -> jnp.ndarr
     """Inverse-warp a batch with per-sample 2x3 affines, bilinear, zero fill.
 
     ``inv_mats`` maps output pixel coords (x, y, 1) to input coords.
+
+    Dispatches to the matmul formulation for small images (TPU gathers are
+    ~50x slower than the equivalent dense interpolation matmuls at 28-64 px)
+    and to the gather formulation for large ones (dense cost grows as
+    H·W·(H+W)).
     """
+    if images.shape[1] * images.shape[2] <= 64 * 64:
+        return _affine_grid_sample_matmul(images, inv_mats)
+    return _affine_grid_sample_gather(images, inv_mats)
+
+
+def _affine_grid_sample_matmul(
+    images: jnp.ndarray, inv_mats: jnp.ndarray
+) -> jnp.ndarray:
+    """Bilinear warp as two dense tensor contractions (MXU-friendly).
+
+    out[b,y,x,c] = Σ_s Σ_t wy[b,y,x,s] · wx[b,y,x,t] · img[b,s,t,c] with
+    hat-function weights w = max(0, 1 − |src − index|): mathematically
+    identical to 4-neighbor bilinear interpolation with zero fill (weights
+    vanish outside the valid range), but runs on the MXU instead of the
+    TPU's slow scatter/gather path — ~50× faster at 28×28.
+    """
+    b, h, w, c = images.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ones = jnp.ones_like(xs)
+    coords = jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()]).astype(jnp.float32)
+    src = jnp.einsum("bij,jk->bik", inv_mats, coords)  # [B, 2, H*W]
+    sx = src[:, 0].reshape(b, h, w)
+    sy = src[:, 1].reshape(b, h, w)
+
+    row_idx = jnp.arange(h, dtype=jnp.float32)
+    col_idx = jnp.arange(w, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - row_idx))  # [B,H,W,H]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - col_idx))  # [B,H,W,W]
+
+    imgs = images.astype(jnp.float32)
+    tmp = jnp.einsum("byxs,bstc->byxtc", wy, imgs)  # contract source rows
+    return jnp.einsum("byxt,byxtc->byxc", wx, tmp)  # contract source cols
+
+
+def _affine_grid_sample_gather(
+    images: jnp.ndarray, inv_mats: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather-based bilinear warp (general path for large images)."""
     b, h, w, c = images.shape
     ys, xs = jnp.mgrid[0:h, 0:w]
     ones = jnp.ones_like(xs)
