@@ -32,10 +32,9 @@ reference does (run_spectral_analysis.py:563).
 from __future__ import annotations
 
 import functools
-import json
 import tempfile
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 from pathlib import Path
 from typing import Any
@@ -196,7 +195,6 @@ def extract_and_analyze_weights(params: Any) -> dict[str, Any]:
         extract_attention_weights,
         extract_mlp_weights,
         extract_qkv_weights,
-        group_weights_by_shape,
     )
 
     weights = (

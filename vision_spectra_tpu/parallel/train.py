@@ -12,7 +12,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from vision_spectra_tpu.data.transforms import train_augment
 from vision_spectra_tpu.parallel.mesh import (

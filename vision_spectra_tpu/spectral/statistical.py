@@ -9,7 +9,7 @@ directional hypothesis validation for the capacity-compression predictions
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np

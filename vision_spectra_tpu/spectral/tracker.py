@@ -24,10 +24,8 @@ import numpy as np
 from vision_spectra_tpu.spectral.extraction import (
     WeightInfo,
     extract_all_weights,
-    group_weights_by_shape,
 )
 from vision_spectra_tpu.spectral.metrics import (
-    METRIC_KEYS,
     aggregate_spectral_metrics,
     batched_spectral_metrics,
     get_spectral_metrics,

@@ -26,7 +26,6 @@ costs milliseconds instead of the reference's per-matrix host LAPACK SVDs.
 
 from __future__ import annotations
 
-import json
 import shutil
 import tempfile
 import time
@@ -38,9 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from vision_spectra_tpu import tracking
-from vision_spectra_tpu.config import ExperimentConfig, SchedulerName
+from vision_spectra_tpu.config import ExperimentConfig
 from vision_spectra_tpu.data.base import BaseDataset
-from vision_spectra_tpu.spectral.metrics import METRIC_KEYS, aggregate_spectral_metrics
+from vision_spectra_tpu.spectral.metrics import aggregate_spectral_metrics
 from vision_spectra_tpu.spectral.tracker import SpectralTracker
 from vision_spectra_tpu.training.schedules import LRSchedule
 from vision_spectra_tpu.training.state import TrainState, make_optimizer
