@@ -195,3 +195,67 @@ class TestTransforms:
         un = denormalize(out, 3)
         center = np.asarray(un)[:, 10:18, 10:18, :]
         assert center.mean() > 0.5
+
+
+class TestMedMNISTSurrogate:
+    def test_surrogate_shapes_and_determinism(self, tmp_path):
+        from vision_spectra_tpu.config import DatasetConfig, DatasetName
+        from vision_spectra_tpu.data import MedMNISTDataset
+
+        cfg = DatasetConfig(
+            name=DatasetName.BLOODMNIST, batch_size=16, sample_ratio=0.05
+        )
+        ds = MedMNISTDataset(cfg, tmp_path)
+        assert ds.surrogate
+        info = ds.get_info()
+        assert info.num_classes == 8
+        assert info.num_channels == 3
+        split = ds.get_val_split()
+        assert split.images.shape[1:] == (28, 28, 3)
+        # deterministic regeneration
+        ds2 = MedMNISTDataset(cfg, tmp_path / "other")
+        np.testing.assert_array_equal(
+            ds.get_val_split().images, ds2.get_val_split().images
+        )
+
+    def test_npz_loading(self, tmp_path):
+        from vision_spectra_tpu.config import DatasetConfig, DatasetName
+        from vision_spectra_tpu.data import MedMNISTDataset
+
+        rng = np.random.RandomState(0)
+        arrays = {}
+        for split, n in [("train", 40), ("val", 10), ("test", 10)]:
+            arrays[f"{split}_images"] = rng.randint(
+                0, 256, (n, 28, 28), dtype=np.uint8
+            )  # grayscale HW format
+            arrays[f"{split}_labels"] = rng.randint(0, 2, (n, 1))
+        np.savez(tmp_path / "pneumoniamnist.npz", **arrays)
+        cfg = DatasetConfig(name=DatasetName.PNEUMONIAMNIST, batch_size=8)
+        ds = MedMNISTDataset(cfg, tmp_path)
+        assert not ds.surrogate
+        info = ds.get_info()
+        assert info.train_size == 40
+        assert ds.get_train_split().images.shape == (40, 28, 28, 1)
+
+    def test_stratified_subsample_preserves_ratios(self, tmp_path):
+        from vision_spectra_tpu.config import DatasetConfig, DatasetName
+        from vision_spectra_tpu.data import MedMNISTDataset
+
+        rng = np.random.RandomState(1)
+        labels = np.concatenate([np.zeros(80), np.ones(20)]).astype(np.int64)
+        arrays = {
+            "train_images": rng.randint(0, 256, (100, 28, 28), dtype=np.uint8),
+            "train_labels": labels[:, None],
+            "val_images": rng.randint(0, 256, (10, 28, 28), dtype=np.uint8),
+            "val_labels": np.zeros((10, 1), np.int64),
+            "test_images": rng.randint(0, 256, (10, 28, 28), dtype=np.uint8),
+            "test_labels": np.zeros((10, 1), np.int64),
+        }
+        np.savez(tmp_path / "pneumoniamnist.npz", **arrays)
+        np.random.seed(0)
+        cfg = DatasetConfig(
+            name=DatasetName.PNEUMONIAMNIST, batch_size=8, sample_ratio=0.5
+        )
+        ds = MedMNISTDataset(cfg, tmp_path)
+        counts = ds.get_info().class_counts["train"]
+        assert counts[0] == 40 and counts[1] == 10  # 80/20 ratio preserved

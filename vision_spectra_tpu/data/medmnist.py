@@ -157,7 +157,7 @@ def _surrogate_split(
                 base[:, :, ch] += np.sin(
                     2 * np.pi * (fy * yy + fx * xx) + phases[cls, ch, w]
                 )
-        base = (base - base.min()) / (base.ptp() + 1e-6)
+        base = (base - base.min()) / (np.ptp(base) + 1e-6)
         vals = np.clip(base[None] + noise[idx], 0.0, 1.0)
         images[idx] = (vals * 255).astype(np.uint8)
     return ArraySplit(images, labels)

@@ -31,7 +31,6 @@ reference does (run_spectral_analysis.py:563).
 
 from __future__ import annotations
 
-import functools
 import tempfile
 import time
 from dataclasses import dataclass
@@ -308,15 +307,18 @@ def run_scenario_experiment(
     data_dir: Path = DATA_DIR,
     histogram_artifacts: bool = True,
 ) -> ScenarioResult:
-    """One scenario × seed run (reference: run_spectral_analysis.py:420-671)."""
-    from vision_spectra_tpu.data.transforms import eval_transform, train_augment
+    """One scenario × seed run (reference: run_spectral_analysis.py:420-671).
+
+    TPU-first execution: both splits live in HBM and each training epoch runs
+    as ONE compiled ``lax.scan`` program (training/fused.py) — on-device
+    shuffle, augmentation, forward/backward, AdamW — with a single packed
+    metrics fetch per epoch. Validation is likewise one fused scan.
+    """
+    from vision_spectra_tpu.data.transforms import eval_transform
     from vision_spectra_tpu.config import OptimizerConfig, OptimizerName
     from vision_spectra_tpu.losses import cross_entropy_loss
-    from vision_spectra_tpu.training.state import (
-        TrainState,
-        apply_updates,
-        make_optimizer,
-    )
+    from vision_spectra_tpu.training.fused import make_fused_epoch_fn
+    from vision_spectra_tpu.training.state import TrainState, make_optimizer
 
     start_time = time.time()
     set_seed(seed)
@@ -363,40 +365,50 @@ def run_scenario_experiment(
             state = TrainState.create(params, tx)
             lr = jnp.float32(config.learning_rate)
 
-            # Metrics accumulate on device; ONE 1-D fetch per epoch (remote
-            # TPU links pay a round trip per fetch; 0-d fetches are
-            # pathologically slow — utils/transfer.py).
-            @functools.partial(jax.jit, donate_argnums=(0, 4))
-            def train_step(state, images_u8, labels, key, acc):
-                k_aug, k_drop = jax.random.split(key)
-                images = train_augment(images_u8, k_aug, num_channels=3)
+            # Device-resident splits: uploaded once, epochs run as single
+            # fused scan programs with one packed metrics fetch each.
+            train_images_dev = jax.device_put(train_loader.split.images)
+            train_labels_dev = jax.device_put(train_loader.split.labels)
+            epoch_fn = make_fused_epoch_fn(
+                model,
+                cross_entropy_loss,
+                tx,
+                batch_size=config.batch_size,
+                num_channels=3,
+            )
 
-                def compute_loss(p):
-                    logits = model.apply(
-                        {"params": p},
-                        images,
-                        deterministic=False,
-                        rngs={"dropout": k_drop},
-                    )
-                    return cross_entropy_loss(logits, labels), logits
+            b = config.batch_size
+            val_split = val_loader.split
+            nv = len(val_split)
+            steps_v = (nv + b - 1) // b
+            pad = steps_v * b - nv
+            val_images = np.concatenate(
+                [val_split.images,
+                 np.zeros((pad,) + val_split.images.shape[1:], np.uint8)]
+            ).reshape(steps_v, b, *val_split.images.shape[1:])
+            val_labels = np.concatenate(
+                [val_split.labels, np.zeros(pad, np.int32)]
+            ).reshape(steps_v, b)
+            val_mask = np.concatenate(
+                [np.ones(nv, np.float32), np.zeros(pad, np.float32)]
+            ).reshape(steps_v, b)
+            val_images_dev = jax.device_put(val_images)
+            val_labels_dev = jax.device_put(val_labels)
+            val_mask_dev = jax.device_put(val_mask)
 
-                (loss, logits), grads = jax.value_and_grad(
-                    compute_loss, has_aux=True
-                )(state.params)
-                state = apply_updates(state, grads, tx, lr, None)
-                correct = jnp.sum(jnp.argmax(logits, -1) == labels)
-                n = labels.shape[0]
-                acc = acc + jnp.stack(
-                    [loss, correct.astype(jnp.float32), jnp.float32(n)]
+            @jax.jit
+            def fused_eval(state, imgs, labs, masks):
+                def body(acc, xs):
+                    im, la, mk = xs
+                    x = eval_transform(im, num_channels=3)
+                    logits = model.apply({"params": state.params}, x)
+                    correct = jnp.sum((jnp.argmax(logits, -1) == la) * mk)
+                    return acc + jnp.stack([correct, jnp.sum(mk)]), None
+
+                acc, _ = jax.lax.scan(
+                    body, jnp.zeros((2,), jnp.float32), (imgs, labs, masks)
                 )
-                return state, acc
-
-            @functools.partial(jax.jit, donate_argnums=(4,))
-            def eval_step(state, images_u8, labels, mask, acc):
-                images = eval_transform(images_u8, num_channels=3)
-                logits = model.apply({"params": state.params}, images)
-                correct = jnp.sum((jnp.argmax(logits, -1) == labels) * mask)
-                return acc + jnp.stack([correct, jnp.sum(mask)])
+                return acc
 
             metrics_history: dict[int, dict[str, float]] = {}
 
@@ -421,30 +433,21 @@ def run_scenario_experiment(
             best_val_accuracy = 0.0
             final_accuracy = 0.0
             train_accuracy = 0.0
-            global_step = 0
             for epoch in range(1, config.epochs + 1):
-                acc = jnp.zeros((3,), jnp.float32)
-                num_batches = 0
-                for batch in train_loader:
-                    state, acc = train_step(
-                        state,
-                        batch.images,
-                        batch.labels,
-                        jax.random.fold_in(base_key, global_step),
-                        acc,
-                    )
-                    global_step += 1
-                    num_batches += 1
+                state, acc = epoch_fn(
+                    state,
+                    train_images_dev,
+                    train_labels_dev,
+                    jax.random.fold_in(base_key, epoch),
+                    lr,
+                )
                 loss_sum, train_correct, train_total = np.asarray(acc)
-                avg_train_loss = float(loss_sum) / max(1, num_batches)
+                avg_train_loss = float(loss_sum) / max(1.0, train_total)
                 train_accuracy = 100.0 * float(train_correct) / max(1.0, train_total)
 
-                vacc = jnp.zeros((2,), jnp.float32)
-                for batch in val_loader:
-                    vacc = eval_step(
-                        state, batch.images, batch.labels, batch.mask, vacc
-                    )
-                val_correct, val_total = np.asarray(vacc)
+                val_correct, val_total = np.asarray(
+                    fused_eval(state, val_images_dev, val_labels_dev, val_mask_dev)
+                )
                 val_accuracy = 100.0 * float(val_correct) / max(1.0, val_total)
                 final_accuracy = val_accuracy
                 best_val_accuracy = max(best_val_accuracy, val_accuracy)

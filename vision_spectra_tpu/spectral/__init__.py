@@ -57,3 +57,48 @@ __all__ = [
     "spectral_entropy",
     "stable_rank",
 ]
+
+# Science extras
+from vision_spectra_tpu.spectral.gradient_alignment import (  # noqa: E402
+    GradientAlignmentTracker,
+    aggregate_alignment,
+    compute_gradient_alignment,
+    compute_model_alignment,
+    rank_reducing_direction,
+)
+from vision_spectra_tpu.spectral.statistical import (  # noqa: E402
+    ComparisonResult,
+    compare_groups,
+    format_comparison_table,
+    pairwise_comparisons,
+    summary_statistics,
+    validate_hypothesis,
+)
+from vision_spectra_tpu.spectral.tail_truncation import (  # noqa: E402
+    analyze_truncation_results,
+    run_truncation_experiment,
+    save_truncation_report,
+    truncate_attention_weights,
+    truncate_matrix_by_energy,
+    truncate_matrix_by_ratio,
+)
+
+__all__ += [
+    "ComparisonResult",
+    "GradientAlignmentTracker",
+    "aggregate_alignment",
+    "analyze_truncation_results",
+    "compare_groups",
+    "compute_gradient_alignment",
+    "compute_model_alignment",
+    "format_comparison_table",
+    "pairwise_comparisons",
+    "rank_reducing_direction",
+    "run_truncation_experiment",
+    "save_truncation_report",
+    "summary_statistics",
+    "truncate_attention_weights",
+    "truncate_matrix_by_energy",
+    "truncate_matrix_by_ratio",
+    "validate_hypothesis",
+]
