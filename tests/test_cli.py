@@ -106,3 +106,82 @@ class TestSmokeTraining:
         )
         assert r.exit_code == 1
         assert "pathmnist" in r.output
+
+    def test_pretrain_mim_smoke(self, runner, tmp_path):
+        r = runner.invoke(
+            main,
+            [
+                "pretrain-mim", "--dataset", "synthetic", "--epochs", "1",
+                "--batch-size", "8", "--smoke-test", "--name", "mim_smoke",
+                "--model", "vit_tiny_patch4_28",
+                "--output-dir", str(tmp_path / "runs"),
+                "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "Final:" in r.output
+
+    def test_train_mtl_smoke(self, runner, tmp_path):
+        r = runner.invoke(
+            main,
+            [
+                "train-mtl", "--dataset", "synthetic", "--epochs", "1",
+                "--batch-size", "8", "--smoke-test", "--name", "mtl_smoke",
+                "--model", "vit_tiny_patch4_28",
+                "--output-dir", str(tmp_path / "runs"),
+                "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert "Final:" in r.output
+
+    def test_finetune_cli_smoke(self, runner, tmp_path):
+        runs = tmp_path / "runs"
+        r = runner.invoke(
+            main,
+            [
+                "pretrain-mim", "--dataset", "synthetic", "--epochs", "1",
+                "--batch-size", "8", "--smoke-test", "--name", "pre_smoke",
+                "--model", "vit_tiny_patch4_28",
+                "--output-dir", str(runs), "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        ckpts = list(runs.rglob("best.msgpack"))
+        assert ckpts
+        r = runner.invoke(
+            main,
+            [
+                "finetune", str(ckpts[0]), "--dataset", "synthetic",
+                "--epochs", "1", "--batch-size", "8", "--smoke-test",
+                "--name", "ft_smoke", "--encoder-lr-scale", "0.1",
+                "--output-dir", str(runs), "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+
+    def test_config_yaml_option(self, runner, tmp_path):
+        from vision_spectra_tpu.config import ExperimentConfig
+
+        cfg = ExperimentConfig()
+        cfg.model.embed_dim = 32
+        cfg.model.depth = 1
+        cfg.model.drop_path_rate = 0.0
+        path = tmp_path / "cfg.yaml"
+        cfg.to_yaml(path)
+        r = runner.invoke(
+            main,
+            [
+                "train-cls", "--config", str(path), "--dataset", "synthetic",
+                "--epochs", "1", "--batch-size", "8", "--smoke-test",
+                "--name", "cfg_smoke", "--model", "vit_tiny_patch4_28",
+                "--output-dir", str(tmp_path / "runs"),
+                "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
