@@ -101,9 +101,19 @@ def _affine_grid_sample_matmul(
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - row_idx))  # [B,H,W,H]
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - col_idx))  # [B,H,W,W]
 
-    imgs = images.astype(jnp.float32)
-    tmp = jnp.einsum("byxs,bstc->byxtc", wy, imgs)  # contract source rows
-    return jnp.einsum("byxt,byxtc->byxc", wx, tmp)  # contract source cols
+    # bf16 contractions: interpolation weights are in [0, 1] and pixel data
+    # has 8 significant bits — bf16 halves the dominant HBM traffic of the
+    # weight tensors with no visible quality impact (augmentation path only).
+    imgs = images.astype(jnp.bfloat16)
+    tmp = jnp.einsum(
+        "byxs,bstc->byxtc", wy.astype(jnp.bfloat16), imgs,
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum(
+        "byxt,byxtc->byxc", wx.astype(jnp.bfloat16), tmp.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out
 
 
 def _affine_grid_sample_gather(
