@@ -37,3 +37,40 @@ def test_len_and_num_samples():
     pre = PrefetchLoader(Loader(_split(20), batch_size=8))
     assert len(pre) == 3
     assert pre.num_samples == 20
+
+
+def test_trainer_with_prefetch_workers(tmp_path):
+    """num_workers > 0 routes training through the PrefetchLoader."""
+    from vision_spectra_tpu.config import (
+        DatasetConfig, DatasetName, ExperimentConfig, ModelConfig,
+        OptimizerConfig, SpectralConfig, TrainingConfig,
+    )
+    from vision_spectra_tpu.data import get_dataset
+    from vision_spectra_tpu.losses import get_loss
+    from vision_spectra_tpu.models import build_vit
+    from vision_spectra_tpu.training import ClassificationTrainer
+
+    cfg = ExperimentConfig(
+        name="prefetch_train",
+        dataset=DatasetConfig(
+            name=DatasetName.SYNTHETIC, batch_size=8, num_classes=3,
+            num_samples_train=32, num_samples_val=16, num_samples_test=16,
+            num_workers=2,
+        ),
+        model=ModelConfig(name="vit_tiny_patch4_28", embed_dim=32, depth=1,
+                          drop_path_rate=0.0),
+        training=TrainingConfig(epochs=1, smoke_test=True),
+        optimizer=OptimizerConfig(warmup_epochs=1),
+        spectral=SpectralConfig(enabled=False),
+        output_dir=tmp_path / "runs",
+        data_dir=tmp_path / "data",
+    )
+    ds = get_dataset(cfg.dataset, cfg.data_dir)
+    info = ds.get_info()
+    model, _ = build_vit(cfg.model.name, num_classes=info.num_classes,
+                         image_size=28, embed_dim=32, depth=1, drop_path_rate=0.0)
+    trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+    assert isinstance(trainer.train_loader, PrefetchLoader)
+    hist = trainer.train()
+    assert hist["loss"] > 0
+    trainer.cleanup()

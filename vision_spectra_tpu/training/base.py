@@ -78,6 +78,14 @@ class BaseTrainer:
         self.info = dataset.get_info()
         self.train_loader = dataset.get_train_loader(seed=config.seed)
         self.val_loader = dataset.get_val_loader()
+        # num_workers > 0 enables producer-thread prefetch with ahead-of-time
+        # device placement (replaces the reference's DataLoader workers).
+        if config.dataset.num_workers > 0:
+            from vision_spectra_tpu.data.prefetch import PrefetchLoader
+
+            self.train_loader = PrefetchLoader(
+                self.train_loader, prefetch=max(2, config.parallel.prefetch)
+            )
 
         self.epochs = config.training.epochs
         self.smoke_test = config.training.smoke_test
