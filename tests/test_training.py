@@ -370,3 +370,158 @@ class TestFusedTrainer:
         assert count == 32  # 36 // 8 * 8 (drop-last)
         assert int(state2.step) == 4
         assert np.isfinite(loss_sum)
+
+
+class TestFusedRegimes:
+    """Fused epochs for MIM / multitask / finetune + per-step LR parity."""
+
+    def _mim_model(self, cfg, info):
+        encoder = _build_encoder(cfg, info)
+        return MIMModel(
+            encoder=encoder,
+            decoder_embed_dim=cfg.model.decoder_embed_dim,
+            decoder_depth=cfg.model.decoder_depth,
+            decoder_num_heads=2,
+            mask_ratio=cfg.model.mask_ratio,
+        )
+
+    def test_fused_mim_trainer(self, tmp_path):
+        from vision_spectra_tpu.training.fused import FusedMIMTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_fused_mim")
+        cfg = cfg.model_copy(
+            update={"training": TrainingConfig(epochs=2, smoke_test=False,
+                                               early_stopping=False)}
+        )
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        trainer = FusedMIMTrainer(cfg, self._mim_model(cfg, ds.get_info()), ds)
+        hist = trainer.train()
+        assert hist["loss"] > 0
+        assert trainer.global_step == 8  # 2 epochs x 4 steps
+        trainer.cleanup()
+
+    def test_fused_multitask_trainer(self, tmp_path):
+        from vision_spectra_tpu.training.fused import FusedMultitaskTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_fused_mtl")
+        cfg = cfg.model_copy(
+            update={"training": TrainingConfig(epochs=1, smoke_test=False,
+                                               early_stopping=False)}
+        )
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        info = ds.get_info()
+        encoder = _build_encoder(cfg, info)
+        model = MultitaskViT(
+            encoder=encoder,
+            decoder_embed_dim=cfg.model.decoder_embed_dim,
+            decoder_depth=cfg.model.decoder_depth,
+            decoder_num_heads=2,
+            mask_ratio=0.5,
+        )
+        trainer = FusedMultitaskTrainer(cfg, model, ds, get_loss(cfg.loss))
+        hist = trainer.train()
+        for key in ("loss", "cls_loss", "mim_loss", "accuracy"):
+            assert key in hist
+        trainer.cleanup()
+
+    def test_fused_finetune_trainer(self, tmp_path):
+        """Finetune fused path honors per-leaf LR multipliers (frozen encoder
+        leaves stay bit-identical across a fused epoch)."""
+        import jax
+
+        from vision_spectra_tpu.training.fused import FusedFinetuneTrainer
+        from vision_spectra_tpu.utils.checkpointing import save_checkpoint
+        from vision_spectra_tpu.training.state import TrainState, make_optimizer
+
+        cfg = _tiny_config(tmp_path, name="test_fused_ft")
+        cfg = cfg.model_copy(
+            update={"training": TrainingConfig(epochs=1, smoke_test=False,
+                                               early_stopping=False)}
+        )
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        info = ds.get_info()
+        model = _build_encoder(cfg, info)
+        params = model.init(
+            jax.random.key(0), np.zeros((1, 28, 28, 3), np.float32)
+        )["params"]
+        tx = make_optimizer(cfg.optimizer, 1.0)
+        ckpt_path = tmp_path / "pre.msgpack"
+        save_checkpoint(ckpt_path, TrainState.create(params, tx), epoch=0)
+
+        trainer = FusedFinetuneTrainer(
+            cfg, model, ds, get_loss(cfg.loss),
+            pretrained_checkpoint=ckpt_path, freeze_encoder=True,
+        )
+        before = jax.tree.map(np.asarray, trainer.state.params)
+        trainer.train()
+        after = jax.tree.map(np.asarray, trainer.state.params)
+        # Encoder frozen: every non-head leaf unchanged; head leaves moved.
+        import flax.traverse_util as tu
+
+        before_flat = tu.flatten_dict(before, sep=".")
+        after_flat = tu.flatten_dict(after, sep=".")
+        moved = unmoved = 0
+        for k in before_flat:
+            same = np.array_equal(before_flat[k], after_flat[k])
+            if "head" in k.split("."):
+                moved += 0 if same else 1
+            else:
+                unmoved += 1 if same else 0
+                assert same, f"frozen leaf {k} changed"
+        assert moved > 0 and unmoved > 0
+        trainer.cleanup()
+
+    def test_fused_per_step_lr_matches_streaming(self, tmp_path):
+        """With identical keys, fused epoch == sequence of streaming steps."""
+        import jax
+        import jax.numpy as jnp
+
+        from vision_spectra_tpu.config import OptimizerConfig
+        from vision_spectra_tpu.losses import make_cross_entropy
+        from vision_spectra_tpu.training.fused import make_fused_epoch_fn
+        from vision_spectra_tpu.training.state import (
+            TrainState,
+            apply_updates,
+            make_optimizer,
+        )
+
+        model, _ = build_vit("vit_tiny_patch4_28", num_classes=3, image_size=28,
+                             embed_dim=32, depth=1, drop_path_rate=0.0)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))["params"]
+        tx = make_optimizer(OptimizerConfig(), gradient_clip=1.0)
+        loss_fn = make_cross_entropy()
+        epoch_fn = make_fused_epoch_fn(
+            model, loss_fn, tx, batch_size=8, augment=False
+        )
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.randint(0, 256, (24, 28, 28, 3), dtype=np.uint8))
+        labels = jnp.asarray(rng.randint(0, 3, 24).astype(np.int32))
+        lrs = jnp.asarray([1e-3, 5e-4, 1e-4], jnp.float32)  # per-step warmup ramp
+        key = jax.random.key(7)
+        # Copy params first: the fused epoch donates (deletes) its input state.
+        params_copy = jax.tree.map(jnp.array, params)
+        state = TrainState.create(params_copy, tx)
+        fused_state, _ = epoch_fn(state, images, labels, key, lrs)
+
+        # Replay the same permutation/keys/lrs with individual steps.
+        k_perm, k_steps = jax.random.split(key)
+        order = np.asarray(jax.random.permutation(k_perm, 24))
+        state2 = TrainState.create(params, tx)
+        for i in range(3):
+            idx = order[i * 8 : (i + 1) * 8]
+            k = jax.random.fold_in(k_steps, i)
+            _k_aug, k_drop = jax.random.split(k)
+            x = images[idx].astype(jnp.float32)
+
+            def compute_loss(p):
+                logits = model.apply({"params": p}, x, deterministic=False,
+                                     rngs={"dropout": k_drop})
+                return loss_fn(logits, labels[idx])
+
+            _loss, grads = jax.value_and_grad(compute_loss)(state2.params)
+            state2 = apply_updates(state2, grads, tx, lrs[i], None)
+
+        for a, b in zip(jax.tree.leaves(fused_state.params),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)

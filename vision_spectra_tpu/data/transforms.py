@@ -157,6 +157,44 @@ def _affine_grid_sample_gather(
     return out.reshape(b, h, w, c)
 
 
+def _nearest_grid_sample_matmul(
+    images: jnp.ndarray, inv_mats: jnp.ndarray
+) -> jnp.ndarray:
+    """Nearest-neighbor warp as two dense tensor contractions (MXU-friendly).
+
+    Same contraction structure as :func:`_affine_grid_sample_matmul` but with
+    indicator weights on the rounded source coordinate — the torchvision /
+    PIL default interpolation for RandomRotation / RandomAffine. Out-of-range
+    coordinates get all-zero weights (zero fill).
+    """
+    b, h, w, c = images.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ones = jnp.ones_like(xs)
+    coords = jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()]).astype(jnp.float32)
+    src = jnp.einsum("bij,jk->bik", inv_mats, coords)  # [B, 2, H*W]
+    sx = src[:, 0].reshape(b, h, w)
+    sy = src[:, 1].reshape(b, h, w)
+
+    row_idx = jnp.arange(h, dtype=jnp.float32)
+    col_idx = jnp.arange(w, dtype=jnp.float32)
+    ry = jnp.floor(sy + 0.5)[..., None]  # round-half-up source row
+    rx = jnp.floor(sx + 0.5)[..., None]
+    wy = (row_idx == ry).astype(jnp.bfloat16)  # [B,H,W,H] one-hot (or zero)
+    wx = (col_idx == rx).astype(jnp.bfloat16)  # [B,H,W,W]
+
+    # Indicator one-hot weights: the contraction copies exact pixel values
+    # (bf16 carries uint8 data exactly — 8 significant bits).
+    imgs = images.astype(jnp.bfloat16)
+    tmp = jnp.einsum(
+        "byxs,bstc->byxtc", wy, imgs, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "byxt,byxtc->byxc", wx, tmp.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out
+
+
 def _random_affine_inverse(key: jax.Array, batch: int, h: int, w: int) -> jnp.ndarray:
     """Per-sample inverse affine matrices for flip+rotate+translate+scale."""
     k_flip, k_rot, k_tx, k_ty, k_scale = jax.random.split(key, 5)
@@ -226,6 +264,139 @@ def _color_jitter(key: jax.Array, x: jnp.ndarray, num_channels: int) -> jnp.ndar
     return x
 
 
+# Six permutations of (brightness, contrast, saturation) — torchvision's
+# ColorJitter applies its ops in a per-image random order.
+_JITTER_PERMS = np.array(
+    [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]],
+    dtype=np.int32,
+)
+
+
+def _color_jitter_shuffled(
+    key: jax.Array, x: jnp.ndarray, num_channels: int
+) -> jnp.ndarray:
+    """torchvision-faithful ColorJitter: per-sample random op order.
+
+    Factors: brightness/contrast ~ U[0.8, 1.2], saturation ~ U[0.9, 1.1]
+    (RGB only — torchvision passes saturation=0 for grayscale, i.e. skip).
+    Each op matches torchvision's tensor semantics: brightness scales,
+    contrast blends with the mean grayscale value of the *current* image,
+    saturation blends with the per-pixel grayscale; clamp after each op.
+    """
+    b = x.shape[0]
+    k_b, k_c, k_s, k_p = jax.random.split(key, 4)
+    fb = jax.random.uniform(k_b, (b, 1, 1, 1), minval=1 - BRIGHTNESS, maxval=1 + BRIGHTNESS)
+    fc = jax.random.uniform(k_c, (b, 1, 1, 1), minval=1 - CONTRAST, maxval=1 + CONTRAST)
+    fs = jax.random.uniform(k_s, (b, 1, 1, 1), minval=1 - SATURATION, maxval=1 + SATURATION)
+    perm = jnp.asarray(_JITTER_PERMS)[jax.random.randint(k_p, (b,), 0, 6)]  # [B,3]
+
+    def brightness(x):
+        return jnp.clip(x * fb, 0.0, 1.0)
+
+    def grayscale(x):
+        if num_channels == 3:
+            return 0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+        return x
+
+    def contrast(x):
+        mean_gray = jnp.mean(grayscale(x), axis=(1, 2, 3), keepdims=True)
+        return jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
+
+    def saturation(x):
+        if num_channels != 3:
+            return x
+        gray = grayscale(x)
+        return jnp.clip((x - gray) * fs + gray, 0.0, 1.0)
+
+    for stage in range(3):
+        op = perm[:, stage][:, None, None, None]  # [B,1,1,1]
+        xb, xc, xs_ = brightness(x), contrast(x), saturation(x)
+        x = jnp.where(op == 0, xb, jnp.where(op == 1, xc, xs_))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("num_channels",))
+def train_augment_ref(
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
+) -> jnp.ndarray:
+    """Reference-faithful train augmentation (torchvision two-pass semantics).
+
+    Matches /root/reference/vision_spectra/data/transforms.py:10-55 op for op:
+
+    - RandomHorizontalFlip(0.5) — exact mirror, folded into the first warp
+      (mirrors map pixel centers to pixel centers, so composing it with a
+      nearest-neighbor warp is exact),
+    - RandomRotation(±15°) with **nearest-neighbor** resampling (the
+      torchvision default), zero fill,
+    - RandomAffine(translate ±10% **rounded to integer pixels**, scale
+      0.9–1.1) as a **second** nearest-neighbor resample (torchvision
+      resamples twice; with nearest interpolation the intermediate uint8
+      quantization is exact, so no precision is lost here),
+    - ColorJitter with per-sample random op order,
+    - normalize.
+
+    The default :func:`train_augment` composes everything into one bilinear
+    warp — faster and smoother; this variant exists for accuracy-parity A/B
+    against the reference recipe (``DatasetConfig.aug_mode="torchvision"``).
+    """
+    b, h, w, _ = images.shape
+    k_flip, k_rot, k_affine, k_color = jax.random.split(key, 4)
+    x = images.astype(jnp.float32) / 255.0
+
+    cx = (w - 1) / 2.0
+    cy = (h - 1) / 2.0
+
+    # Pass 1: flip + rotation about center (inverse map, nearest sampling).
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+    theta = jax.random.uniform(
+        k_rot, (b,), minval=-ROTATION_DEGREES, maxval=ROTATION_DEGREES
+    ) * (jnp.pi / 180.0)
+    r00 = jnp.cos(theta)
+    r01 = jnp.sin(theta)
+    t0 = r00 * (-cx) + r01 * (-cy) + cx
+    t1 = -r01 * (-cx) + r00 * (-cy) + cy
+    f00 = jnp.where(flip, -r00, r00)
+    f01 = jnp.where(flip, -r01, r01)
+    ft0 = jnp.where(flip, (w - 1) - t0, t0)
+    rot = jnp.stack(
+        [
+            jnp.stack([f00, f01, ft0], axis=-1),
+            jnp.stack([-r01, r00, t1], axis=-1),
+        ],
+        axis=1,
+    )
+    x = _nearest_grid_sample_matmul(x, rot)
+
+    # Pass 2: integer translate + scale about center (no rotation).
+    k_tx, k_ty, k_scale = jax.random.split(k_affine, 3)
+    tx = jnp.round(
+        jax.random.uniform(k_tx, (b,), minval=-TRANSLATE_FRAC, maxval=TRANSLATE_FRAC) * w
+    )
+    ty = jnp.round(
+        jax.random.uniform(k_ty, (b,), minval=-TRANSLATE_FRAC, maxval=TRANSLATE_FRAC) * h
+    )
+    scale = jax.random.uniform(
+        k_scale, (b,), minval=SCALE_RANGE[0], maxval=SCALE_RANGE[1]
+    )
+    inv_s = 1.0 / scale
+    a00 = inv_s
+    at0 = inv_s * (-cx - tx) + cx
+    at1 = inv_s * (-cy - ty) + cy
+    zeros = jnp.zeros_like(a00)
+    aff = jnp.stack(
+        [
+            jnp.stack([a00, zeros, at0], axis=-1),
+            jnp.stack([zeros, a00, at1], axis=-1),
+        ],
+        axis=1,
+    )
+    x = _nearest_grid_sample_matmul(x, aff)
+
+    x = _color_jitter_shuffled(k_color, x, num_channels)
+    mean, std = _stats(num_channels)
+    return (x - mean) / std
+
+
 @functools.partial(jax.jit, static_argnames=("num_channels",))
 def train_augment(
     images: jnp.ndarray, key: jax.Array, num_channels: int = 3
@@ -266,6 +437,8 @@ def make_augment_fn(
     """Factory returning the right (images, key) -> images function."""
     if mode == "train":
         return functools.partial(train_augment, num_channels=num_channels)
+    if mode == "train_ref":
+        return functools.partial(train_augment_ref, num_channels=num_channels)
     if mode == "mim":
         return functools.partial(mim_augment, num_channels=num_channels)
     if mode == "eval":

@@ -6,6 +6,13 @@ from vision_spectra_tpu.training.classification import (
     evaluate_model,
 )
 from vision_spectra_tpu.training.finetune import FinetuneTrainer, load_pretrained_params
+from vision_spectra_tpu.training.fused import (
+    FusedClassificationTrainer,
+    FusedFinetuneTrainer,
+    FusedMIMTrainer,
+    FusedMultitaskTrainer,
+    make_fused_epoch_fn,
+)
 from vision_spectra_tpu.training.metrics import (
     accuracy_from_cm,
     confusion_matrix_update,
@@ -26,6 +33,11 @@ __all__ = [
     "BaseTrainer",
     "ClassificationTrainer",
     "FinetuneTrainer",
+    "FusedClassificationTrainer",
+    "FusedFinetuneTrainer",
+    "FusedMIMTrainer",
+    "FusedMultitaskTrainer",
+    "make_fused_epoch_fn",
     "LRSchedule",
     "MIMTrainer",
     "MultitaskTrainer",

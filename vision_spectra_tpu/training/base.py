@@ -141,6 +141,21 @@ class BaseTrainer:
     def _build_step_fns(self) -> None:
         raise NotImplementedError
 
+    def _train_augment_fn(self):
+        """The (images_u8, key) -> images train augmentation for this run.
+
+        ``dataset.aug_mode`` selects the single-resample fused warp (default)
+        or the torchvision-faithful two-pass variant (see data/transforms.py).
+        """
+        from vision_spectra_tpu.data.transforms import make_augment_fn
+
+        mode = (
+            "train_ref"
+            if self.config.dataset.aug_mode == "torchvision"
+            else "train"
+        )
+        return make_augment_fn(self.info.num_channels, mode)
+
     # -- per-epoch hooks (regime subclasses) ---------------------------------
 
     def train_epoch(self, epoch: int) -> dict[str, float]:

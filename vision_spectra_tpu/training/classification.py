@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vision_spectra_tpu.data.transforms import eval_transform, train_augment
+from vision_spectra_tpu.data.transforms import eval_transform
 from vision_spectra_tpu.training.base import BaseTrainer
 from vision_spectra_tpu.training.metrics import (
     accuracy_from_cm,
@@ -37,17 +37,22 @@ from vision_spectra_tpu.utils.visualization import save_prediction_examples
 
 
 class ClassificationTrainer(BaseTrainer):
+    # Packed device accumulator layout: [loss_sum, correct, count].
+    _stats_len = 3
+
     def _build_step_fns(self) -> None:
         model = self.model
         loss_fn = self.loss_fn
         tx = self.tx
         num_channels = self.info.num_channels
         num_classes = self.info.num_classes
+        augment = self._train_augment_fn()
 
-        @functools.partial(jax.jit, donate_argnums=(0, 6))
-        def train_step(state, images_u8, labels, key, lr, lr_mult, acc):
+        def train_core(state, images_u8, labels, key, lr, lr_mult):
+            """One optimizer step; returns (state, stats[3]). Shared by the
+            streaming step below and the fused-epoch scan (training/fused.py)."""
             k_aug, k_drop, k_mask = jax.random.split(key, 3)
-            images = train_augment(images_u8, k_aug, num_channels=num_channels)
+            images = augment(images_u8, k_aug)
 
             def compute_loss(params):
                 logits = model.apply(
@@ -64,10 +69,17 @@ class ClassificationTrainer(BaseTrainer):
             state = apply_updates(state, grads, tx, lr, lr_mult)
             n = labels.shape[0]
             correct = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
-            acc = acc + jnp.stack(
+            stats = jnp.stack(
                 [loss * n, correct.astype(jnp.float32), jnp.float32(n)]
             )
-            return state, acc
+            return state, stats
+
+        @functools.partial(jax.jit, donate_argnums=(0, 6))
+        def train_step(state, images_u8, labels, key, lr, lr_mult, acc):
+            state, stats = train_core(state, images_u8, labels, key, lr, lr_mult)
+            return state, acc + stats
+
+        self._train_core = train_core
 
         @functools.partial(jax.jit, donate_argnums=(4,))
         def eval_step(state, images_u8, labels, mask, stats):
@@ -90,8 +102,15 @@ class ClassificationTrainer(BaseTrainer):
         self._eval_step = eval_step
         self._num_classes = num_classes
 
+    def _metrics_from_stats(self, stats: np.ndarray) -> dict[str, float]:
+        loss_sum, correct, count = stats
+        return {
+            "loss": float(loss_sum) / max(count, 1),
+            "accuracy": float(correct) / max(count, 1),
+        }
+
     def train_epoch(self, epoch: int) -> dict[str, float]:
-        acc = jnp.zeros((3,), jnp.float32)
+        acc = jnp.zeros((self._stats_len,), jnp.float32)
         for i, batch in enumerate(self.train_loader):
             if i >= self.num_train_batches:
                 break
@@ -106,11 +125,7 @@ class ClassificationTrainer(BaseTrainer):
                 acc,
             )
             self.global_step += 1
-        loss_sum, correct, count = np.asarray(acc)  # single device fetch
-        return {
-            "loss": float(loss_sum) / max(count, 1),
-            "accuracy": float(correct) / max(count, 1),
-        }
+        return self._metrics_from_stats(np.asarray(acc))  # single device fetch
 
     def validate(self) -> dict[str, float]:
         c = self._num_classes

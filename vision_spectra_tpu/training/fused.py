@@ -8,9 +8,17 @@ forward/backward, optimizer — with zero per-step host dispatch. On tunneled
 attachments (≈1 ms dispatch + 32 ms fetch round trips) this is the difference
 between dispatch-bound and compute-bound training.
 
-The per-step trainers (classification.py etc.) remain the general path (they
-stream arbitrarily large datasets); ``FusedClassificationTrainer`` is a
-drop-in for device-resident datasets.
+Every regime fuses the same way because every trainer exposes a pure
+``_train_core(state, images_u8, labels, key, lr, lr_mult) -> (state, stats)``
+(the exact function its streaming step jits — reference equivalents:
+vision_spectra/training/classification.py:61-135, mim.py:75-137,
+multitask.py:160-223, finetune.py:22-155). The fused epoch scans that core
+over the shuffled batches with a **per-step LR array** computed by the host
+scheduler, so warmup semantics match the streaming path step-for-step.
+
+The per-step trainers remain the general path (they stream arbitrarily large
+datasets); the ``Fused*Trainer`` classes are drop-ins for device-resident
+datasets.
 """
 
 from __future__ import annotations
@@ -24,30 +32,42 @@ import numpy as np
 
 from vision_spectra_tpu.data.transforms import train_augment
 from vision_spectra_tpu.training.classification import ClassificationTrainer
+from vision_spectra_tpu.training.finetune import FinetuneTrainer
+from vision_spectra_tpu.training.mim import MIMTrainer
+from vision_spectra_tpu.training.multitask import MultitaskTrainer
 from vision_spectra_tpu.training.state import TrainState, apply_updates
 
-__all__ = ["make_fused_epoch_fn", "FusedClassificationTrainer"]
+__all__ = [
+    "make_fused_epoch_fn",
+    "fuse_train_core",
+    "FusedEpochMixin",
+    "FusedClassificationTrainer",
+    "FusedMIMTrainer",
+    "FusedMultitaskTrainer",
+    "FusedFinetuneTrainer",
+]
 
 
-def make_fused_epoch_fn(
-    model: Any,
-    loss_fn: Callable,
-    tx: Any,
+def fuse_train_core(
+    train_core: Callable,
     batch_size: int,
-    num_channels: int = 3,
-    augment: bool = True,
+    stats_len: int,
 ) -> Callable:
-    """Build ``epoch_fn(state, images, labels, key, lr) -> (state, acc)``.
+    """Fuse a per-step ``train_core`` into a whole-epoch device program.
 
-    ``images``: device-resident uint8 [N, H, W, C]; ``labels``: int32 [N].
-    Drops the last partial batch (reference train-loader semantics). Returns
-    the packed accumulator [loss_sum, correct, count].
+    Returns ``epoch_fn(state, images, labels, key, lrs, lr_mult) ->
+    (state, stats)`` where ``images``/``labels`` are the device-resident
+    full split (uint8 [N, H, W, C] / int32 [N]), ``lrs`` is either a scalar
+    LR or a per-step [steps] float32 array (warmup-exact), and ``stats`` is
+    the summed ``stats_len``-vector accumulator. Drops the last partial
+    batch (reference train-loader semantics).
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state: TrainState, images, labels, key, lr):
+    def epoch_fn(state: TrainState, images, labels, key, lrs, lr_mult=None):
         n = images.shape[0]
         steps = n // batch_size
+        lrs = jnp.broadcast_to(jnp.asarray(lrs, jnp.float32), (steps,))
         k_perm, k_steps = jax.random.split(key)
         order = jax.random.permutation(k_perm, n)[: steps * batch_size]
         # One whole-array gather per epoch, then contiguous scan slices —
@@ -61,56 +81,77 @@ def make_fused_epoch_fn(
 
         def body(carry, step_inputs):
             state, acc = carry
-            imgs, labs, i = step_inputs
+            imgs, labs, lr, i = step_inputs
             k = jax.random.fold_in(k_steps, i)
-            k_aug, k_drop = jax.random.split(k)
-            if augment:
-                x = train_augment(imgs, k_aug, num_channels=num_channels)
-            else:
-                x = imgs.astype(jnp.float32)
+            state, stats = train_core(state, imgs, labs, k, lr, lr_mult)
+            return (state, acc + stats), None
 
-            def compute_loss(params):
-                logits = model.apply(
-                    {"params": params},
-                    x,
-                    deterministic=False,
-                    rngs={"dropout": k_drop},
-                )
-                return loss_fn(logits, labs), logits
-
-            (loss, logits), grads = jax.value_and_grad(
-                compute_loss, has_aux=True
-            )(state.params)
-            state = apply_updates(state, grads, tx, lr, None)
-            correct = jnp.sum(jnp.argmax(logits, -1) == labs)
-            acc = acc + jnp.stack(
-                [loss * batch_size, correct.astype(jnp.float32),
-                 jnp.float32(batch_size)]
-            )
-            return (state, acc), None
-
-        acc0 = jnp.zeros((3,), jnp.float32)
+        acc0 = jnp.zeros((stats_len,), jnp.float32)
         (state, acc), _ = jax.lax.scan(
             body,
             (state, acc0),
-            (shuffled_images, shuffled_labels, jnp.arange(steps)),
+            (shuffled_images, shuffled_labels, lrs, jnp.arange(steps)),
         )
         return state, acc
 
     return epoch_fn
 
 
-class FusedClassificationTrainer(ClassificationTrainer):
-    """Classification trainer running each epoch as one fused device program.
+def make_fused_epoch_fn(
+    model: Any,
+    loss_fn: Callable,
+    tx: Any,
+    batch_size: int,
+    num_channels: int = 3,
+    augment: bool = True,
+    augment_fn: Callable | None = None,
+) -> Callable:
+    """Standalone classification fused epoch (used by the scenario runner and
+    bench.py): ``epoch_fn(state, images, labels, key, lrs) -> (state, acc)``
+    with the packed accumulator [loss_sum, correct, count]. ``lrs`` may be a
+    scalar (constant-LR recipes) or a per-step array.
+    """
+    if augment_fn is None and augment:
+        augment_fn = functools.partial(train_augment, num_channels=num_channels)
 
+    def core(state, imgs, labs, key, lr, lr_mult):
+        k_aug, k_drop = jax.random.split(key)
+        if augment_fn is not None:
+            x = augment_fn(imgs, k_aug)
+        else:
+            x = imgs.astype(jnp.float32)
+
+        def compute_loss(params):
+            logits = model.apply(
+                {"params": params},
+                x,
+                deterministic=False,
+                rngs={"dropout": k_drop},
+            )
+            return loss_fn(logits, labs), logits
+
+        (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        state = apply_updates(state, grads, tx, lr, lr_mult)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labs)
+        stats = jnp.stack(
+            [loss * labs.shape[0], correct.astype(jnp.float32),
+             jnp.float32(labs.shape[0])]
+        )
+        return state, stats
+
+    return fuse_train_core(core, batch_size, stats_len=3)
+
+
+class FusedEpochMixin:
+    """Runs each epoch as one fused device program.
+
+    Mixes into any trainer exposing ``_train_core`` and ``_stats_len``.
     Uploads the train split to HBM once at construction. Validation and all
     host-side behavior (tracking, spectral cadence, checkpoints, scheduler)
-    are inherited unchanged.
-
-    Note: warmup LR varies per step on host in the base trainer; here the LR
-    is constant within an epoch (evaluated at the epoch's first step), which
-    only affects the few warmup epochs and is documented behavior of the
-    fused path.
+    are inherited unchanged. The per-step LR array reproduces the streaming
+    path's warmup semantics exactly.
     """
 
     def _build_step_fns(self) -> None:
@@ -118,30 +159,45 @@ class FusedClassificationTrainer(ClassificationTrainer):
         split = self.dataset.get_train_split()
         self._train_images_dev = jax.device_put(split.images)
         self._train_labels_dev = jax.device_put(split.labels)
-        self._fused_epoch = make_fused_epoch_fn(
-            self.model,
-            self.loss_fn,
-            self.tx,
+        self._fused_epoch = fuse_train_core(
+            self._train_core,
             batch_size=self.config.dataset.batch_size,
-            num_channels=self.info.num_channels,
+            stats_len=self._stats_len,
         )
 
     def train_epoch(self, epoch: int) -> dict[str, float]:
         if self.smoke_test:
             # smoke mode caps batches — use the streaming path
             return super().train_epoch(epoch)
-        lr = jnp.float32(self.schedule.lr_for_step(self.global_step))
+        steps = len(self._train_labels_dev) // self.config.dataset.batch_size
+        lrs = np.asarray(
+            [self.schedule.lr_for_step(self.global_step + i) for i in range(steps)],
+            np.float32,
+        )
         self.state, acc = self._fused_epoch(
             self.state,
             self._train_images_dev,
             self._train_labels_dev,
             self.step_key(self.global_step),
-            lr,
+            lrs,
+            self.lr_mult,
         )
-        steps = len(self._train_labels_dev) // self.config.dataset.batch_size
         self.global_step += steps
-        loss_sum, correct, count = np.asarray(acc)
-        return {
-            "loss": float(loss_sum) / max(count, 1),
-            "accuracy": float(correct) / max(count, 1),
-        }
+        return self._metrics_from_stats(np.asarray(acc))
+
+
+class FusedClassificationTrainer(FusedEpochMixin, ClassificationTrainer):
+    """Classification trainer with fused epochs."""
+
+
+class FusedMIMTrainer(FusedEpochMixin, MIMTrainer):
+    """MIM pretraining trainer with fused epochs."""
+
+
+class FusedMultitaskTrainer(FusedEpochMixin, MultitaskTrainer):
+    """Multitask (cls + MIM) trainer with fused epochs."""
+
+
+class FusedFinetuneTrainer(FusedEpochMixin, FinetuneTrainer):
+    """Finetune trainer with fused epochs (the per-leaf LR-multiplier pytree
+    is passed into the scanned program like any other argument)."""

@@ -21,14 +21,22 @@ from vision_spectra_tpu.utils.visualization import save_mim_examples
 
 
 class MIMTrainer(BaseTrainer):
+    # Packed device accumulator layout: [loss_sum, n_batches].
+    _stats_len = 2
+
     def _build_step_fns(self) -> None:
         model = self.model
         tx = self.tx
         num_channels = self.info.num_channels
         mask_ratio = self.config.model.mask_ratio
 
-        @functools.partial(jax.jit, donate_argnums=(0, 4))
-        def train_step(state, images_u8, key, lr, acc, lr_mult):
+        def train_core(state, images_u8, labels, key, lr, lr_mult):
+            """One MIM step (labels ignored — reference: mim.py:93).
+
+            Returns (state, stats[2]); shared by the streaming step and the
+            fused-epoch scan (training/fused.py).
+            """
+            del labels
             k_aug, k_drop, k_mask = jax.random.split(key, 3)
             images = mim_augment(images_u8, k_aug, num_channels=num_channels)
 
@@ -44,8 +52,14 @@ class MIMTrainer(BaseTrainer):
 
             loss, grads = jax.value_and_grad(compute_loss)(state.params)
             state = apply_updates(state, grads, tx, lr, lr_mult)
-            acc = acc + jnp.stack([loss, jnp.float32(1.0)])
-            return state, acc
+            return state, jnp.stack([loss, jnp.float32(1.0)])
+
+        @functools.partial(jax.jit, donate_argnums=(0, 4))
+        def train_step(state, images_u8, key, lr, acc, lr_mult):
+            state, stats = train_core(state, images_u8, None, key, lr, lr_mult)
+            return state, acc + stats
+
+        self._train_core = train_core
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def eval_step(state, images_u8, key, acc):
@@ -73,8 +87,12 @@ class MIMTrainer(BaseTrainer):
         self._eval_step = eval_step
         self._recon_step = recon_step
 
+    def _metrics_from_stats(self, stats: np.ndarray) -> dict[str, float]:
+        loss_sum, batches = stats
+        return {"loss": float(loss_sum) / max(batches, 1)}
+
     def train_epoch(self, epoch: int) -> dict[str, float]:
-        acc = jnp.zeros((2,), jnp.float32)
+        acc = jnp.zeros((self._stats_len,), jnp.float32)
         for i, batch in enumerate(self.train_loader):
             if i >= self.num_train_batches:
                 break
@@ -88,8 +106,7 @@ class MIMTrainer(BaseTrainer):
                 self.lr_mult,
             )
             self.global_step += 1
-        loss_sum, batches = np.asarray(acc)
-        return {"loss": float(loss_sum) / max(batches, 1)}
+        return self._metrics_from_stats(np.asarray(acc))
 
     def validate(self) -> dict[str, float]:
         acc = jnp.zeros((2,), jnp.float32)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vision_spectra_tpu.data.transforms import eval_transform, train_augment
+from vision_spectra_tpu.data.transforms import eval_transform
 from vision_spectra_tpu.training.base import BaseTrainer
 from vision_spectra_tpu.training.metrics import (
     accuracy_from_cm,
@@ -30,6 +30,9 @@ from vision_spectra_tpu.utils.visualization import (
 
 
 class MultitaskTrainer(BaseTrainer):
+    # Packed device accumulator layout: [total·n, cls·n, mim·n, correct, n].
+    _stats_len = 5
+
     def _build_step_fns(self) -> None:
         model = self.model
         loss_fn = self.loss_fn
@@ -40,11 +43,14 @@ class MultitaskTrainer(BaseTrainer):
         mim_w = self.config.loss.mtl_mim_weight
         mask_ratio = self.config.model.mask_ratio
 
-        @functools.partial(jax.jit, donate_argnums=(0, 6))
-        def train_step(state, images_u8, labels, key, lr, lr_mult, acc):
-            """acc: [total·n, cls·n, mim·n, correct, n] sums."""
+        augment = self._train_augment_fn()
+
+        def train_core(state, images_u8, labels, key, lr, lr_mult):
+            """One multitask step; returns (state, stats[5]) with stats =
+            [total·n, cls·n, mim·n, correct, n]. Shared by the streaming step
+            and the fused-epoch scan (training/fused.py)."""
             k_aug, k_drop, k_mask = jax.random.split(key, 3)
-            images = train_augment(images_u8, k_aug, num_channels=num_channels)
+            images = augment(images_u8, k_aug)
 
             def compute_loss(params):
                 logits, mim_loss, _pred, _mask = model.apply(
@@ -65,7 +71,7 @@ class MultitaskTrainer(BaseTrainer):
             state = apply_updates(state, grads, tx, lr, lr_mult)
             n = labels.shape[0]
             correct = jnp.sum(jnp.argmax(logits, axis=-1) == labels)
-            acc = acc + jnp.stack(
+            stats = jnp.stack(
                 [
                     total * n,
                     cls_loss * n,
@@ -74,7 +80,14 @@ class MultitaskTrainer(BaseTrainer):
                     jnp.float32(n),
                 ]
             )
-            return state, acc
+            return state, stats
+
+        @functools.partial(jax.jit, donate_argnums=(0, 6))
+        def train_step(state, images_u8, labels, key, lr, lr_mult, acc):
+            state, stats = train_core(state, images_u8, labels, key, lr, lr_mult)
+            return state, acc + stats
+
+        self._train_core = train_core
 
         @functools.partial(jax.jit, donate_argnums=(5,))
         def eval_step(state, images_u8, labels, mask, key, stats):
@@ -119,8 +132,18 @@ class MultitaskTrainer(BaseTrainer):
         self._num_classes = num_classes
         self._cls_w, self._mim_w = cls_w, mim_w
 
+    def _metrics_from_stats(self, stats: np.ndarray) -> dict[str, float]:
+        total, cls, mim, correct, n = stats
+        n = max(n, 1)
+        return {
+            "loss": float(total) / n,
+            "cls_loss": float(cls) / n,
+            "mim_loss": float(mim) / n,
+            "accuracy": float(correct) / n,
+        }
+
     def train_epoch(self, epoch: int) -> dict[str, float]:
-        acc = jnp.zeros((5,), jnp.float32)
+        acc = jnp.zeros((self._stats_len,), jnp.float32)
         for i, batch in enumerate(self.train_loader):
             if i >= self.num_train_batches:
                 break
@@ -135,14 +158,7 @@ class MultitaskTrainer(BaseTrainer):
                 acc,
             )
             self.global_step += 1
-        total, cls, mim, correct, n = np.asarray(acc)
-        n = max(n, 1)
-        return {
-            "loss": float(total) / n,
-            "cls_loss": float(cls) / n,
-            "mim_loss": float(mim) / n,
-            "accuracy": float(correct) / n,
-        }
+        return self._metrics_from_stats(np.asarray(acc))
 
     def validate(self) -> dict[str, float]:
         c = self._num_classes
