@@ -185,3 +185,24 @@ class TestSmokeTraining:
             catch_exceptions=False,
         )
         assert r.exit_code == 0, r.output
+
+
+def test_sweep_cli_covers_reference_options():
+    """experiments classification run exposes the reference's full option
+    surface (reference: run_classification_experiments.py:539-628)."""
+    from click.testing import CliRunner
+
+    from vision_spectra_tpu.experiments.run_classification_experiments import (
+        classification,
+    )
+
+    result = CliRunner().invoke(classification, ["run", "--help"])
+    assert result.exit_code == 0
+    reference_options = [
+        "--dataset", "--losses", "--seeds", "--num-seeds", "--epochs",
+        "--patience", "--batch-size", "--lr", "--sample-ratio", "--device",
+        "--output", "--fast", "--log-every-n-epochs", "--log-first-epochs",
+        "--track-distributions", "--save-distribution-history",
+    ]
+    for opt in reference_options:
+        assert opt in result.output, f"missing sweep option {opt}"

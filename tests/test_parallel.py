@@ -125,3 +125,99 @@ def test_dp_matches_single_device(model_and_state):
         jax.tree.leaves(dp_state.params), jax.tree.leaves(single_state.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+class TestTrainerOnMesh:
+    """The FULL trainer (tracking, spectral snapshots, checkpoints) runs on
+    the virtual 8-device mesh via ParallelConfig — VERDICT r1 item 2."""
+
+    def _config(self, tmp_path, data_axis, model_axis, name):
+        from vision_spectra_tpu.config import (
+            DatasetConfig,
+            DatasetName,
+            ExperimentConfig,
+            ModelConfig,
+            OptimizerConfig,
+            ParallelConfig,
+            SpectralConfig,
+            TrainingConfig,
+        )
+
+        return ExperimentConfig(
+            name=name,
+            seed=7,
+            dataset=DatasetConfig(
+                name=DatasetName.SYNTHETIC,
+                batch_size=8,
+                num_classes=3,
+                num_samples_train=48,
+                num_samples_val=16,
+                num_samples_test=16,
+            ),
+            model=ModelConfig(
+                name="vit_tiny_patch4_28", embed_dim=32, depth=1,
+                drop_path_rate=0.0,
+            ),
+            training=TrainingConfig(epochs=2, smoke_test=False,
+                                    early_stopping=False,
+                                    save_every_n_epochs=2),
+            optimizer=OptimizerConfig(warmup_epochs=1),
+            spectral=SpectralConfig(enabled=True, log_every_n_epochs=1,
+                                    extract_mlp=False),
+            parallel=ParallelConfig(data_axis=data_axis, model_axis=model_axis),
+            output_dir=tmp_path / f"mlruns_{name}",
+            data_dir=tmp_path / "data",
+        )
+
+    def _run(self, cfg):
+        from vision_spectra_tpu.data import get_dataset
+        from vision_spectra_tpu.losses import get_loss
+        from vision_spectra_tpu.models import build_vit
+        from vision_spectra_tpu.training import ClassificationTrainer
+
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        info = ds.get_info()
+        model, _ = build_vit(
+            cfg.model.name, num_classes=info.num_classes,
+            num_channels=info.num_channels, image_size=info.image_size[0],
+            embed_dim=cfg.model.embed_dim, depth=cfg.model.depth,
+            drop_path_rate=0.0,
+        )
+        trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+        hist = trainer.train()
+        return trainer, hist
+
+    def test_full_trainer_dp4_tp2(self, tmp_path):
+        cfg = self._config(tmp_path, data_axis=4, model_axis=2, name="mesh42")
+        trainer, hist = self._run(cfg)
+        assert trainer.mesh is not None
+        assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+        assert np.isfinite(hist["loss"])
+        # spectral snapshots happened (epoch 0 + 2 epochs at cadence 1)
+        assert len(trainer.spectral_tracker.history) == 3
+        # checkpoints + tracking artifacts landed in the store
+        store_root = cfg.output_dir
+        ckpts = list(store_root.rglob("best.msgpack"))
+        assert ckpts, "best checkpoint not logged"
+        spectral_json = list(store_root.rglob("spectral_epoch_0001.json"))
+        assert spectral_json, "per-epoch spectral artifact not logged"
+        trainer.cleanup()
+
+    def test_mesh_matches_single_device_loss(self, tmp_path):
+        """dp8 and single-device runs agree (same seeds, same data)."""
+        cfg_mesh = self._config(tmp_path, data_axis=-1, model_axis=1, name="dp8")
+        cfg_one = self._config(tmp_path, data_axis=1, model_axis=1, name="one")
+        t1, h1 = self._run(cfg_mesh)
+        assert t1.mesh is not None and t1.mesh.shape["data"] == 8
+        t2, h2 = self._run(cfg_one)
+        assert t2.mesh is None
+        assert h1["loss"] == pytest.approx(h2["loss"], rel=1e-3)
+        assert h1["val_accuracy"] == pytest.approx(h2["val_accuracy"], abs=1e-6)
+        t1.cleanup()
+        t2.cleanup()
+
+    def test_indivisible_batch_raises(self, tmp_path):
+        cfg = self._config(tmp_path, data_axis=-1, model_axis=1, name="bad")
+        cfg.dataset.batch_size = 6  # not divisible by 8
+        with pytest.raises(ValueError, match="divisible"):
+            self._run(cfg)

@@ -106,3 +106,101 @@ class TestStoreLayout:
                 tracking.log_param("../escape", 1)
             with pytest.raises(ValueError):
                 tracking.log_metric("a|b", 1.0)
+
+
+class TestSurrogateProvenance:
+    """Surrogate-data runs are tagged and excluded from figures by default."""
+
+    def _make_run(self, output_dir, provenance, acc, alphas):
+        from vision_spectra_tpu import tracking
+
+        tracking.set_tracking_uri(output_dir)
+        tracking.set_experiment("spectral_scenario_B")
+        with tracking.start_run(run_name=f"{provenance}_run"):
+            tracking.set_tag("data", provenance)
+            tracking.log_param("data_provenance", provenance)
+            tracking.log_metric("final/val_accuracy", acc)
+            for step, a in alphas:
+                tracking.log_metric("spectral/alpha_exponent_mean", a, step=step)
+
+    def test_default_excludes_surrogate(self, tmp_path):
+        from vision_spectra_tpu.analysis.publication_figures import (
+            extract_scenario_metrics,
+        )
+
+        out = tmp_path / "mlruns"
+        self._make_run(out, "real", 70.0, [(0, 0.40), (50, 0.52)])
+        self._make_run(out, "surrogate", 100.0, [(0, 0.40), (50, 0.90)])
+
+        m = extract_scenario_metrics("B", out)
+        assert m is not None
+        assert m.num_runs == 1
+        assert not m.surrogate
+        assert "(surrogate)" not in m.name
+        assert m.accuracy_mean == pytest.approx(70.0)
+        assert m.delta_alpha_mean == pytest.approx(0.12)
+
+    def test_include_surrogate_marks_name(self, tmp_path):
+        from vision_spectra_tpu.analysis.publication_figures import (
+            extract_scenario_metrics,
+        )
+
+        out = tmp_path / "mlruns"
+        self._make_run(out, "surrogate", 100.0, [(0, 0.40), (50, 0.90)])
+        m = extract_scenario_metrics("B", out, include_surrogate=True)
+        assert m is not None
+        assert m.surrogate
+        assert "(surrogate)" in m.name
+
+    def test_only_surrogate_yields_none_by_default(self, tmp_path):
+        from vision_spectra_tpu.analysis.publication_figures import (
+            extract_scenario_metrics,
+        )
+
+        out = tmp_path / "mlruns"
+        self._make_run(out, "surrogate", 100.0, [(0, 0.40), (50, 0.90)])
+        assert extract_scenario_metrics("B", out) is None
+
+    def test_trainer_tags_provenance(self, tmp_path):
+        """BaseTrainer writes the data tag into the store."""
+        from vision_spectra_tpu import tracking
+        from vision_spectra_tpu.config import (
+            DatasetConfig,
+            DatasetName,
+            ExperimentConfig,
+            ModelConfig,
+            SpectralConfig,
+            TrainingConfig,
+        )
+        from vision_spectra_tpu.data import get_dataset
+        from vision_spectra_tpu.losses import get_loss
+        from vision_spectra_tpu.models import build_vit
+        from vision_spectra_tpu.training import ClassificationTrainer
+
+        cfg = ExperimentConfig(
+            name="prov_test",
+            dataset=DatasetConfig(
+                name=DatasetName.SYNTHETIC, batch_size=8, num_classes=3,
+                num_samples_train=16, num_samples_val=8, num_samples_test=8,
+            ),
+            model=ModelConfig(name="vit_tiny_patch4_28", embed_dim=32, depth=1,
+                              drop_path_rate=0.0),
+            training=TrainingConfig(epochs=1, smoke_test=True),
+            spectral=SpectralConfig(enabled=False),
+            output_dir=tmp_path / "mlruns",
+            data_dir=tmp_path / "data",
+        )
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        info = ds.get_info()
+        model, _ = build_vit(cfg.model.name, num_classes=info.num_classes,
+                             num_channels=info.num_channels, image_size=28,
+                             embed_dim=32, depth=1, drop_path_rate=0.0)
+        trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+        trainer.train()
+        trainer.cleanup()
+
+        client = tracking.MlflowClient(cfg.output_dir)
+        exp = client.get_experiment_by_name("prov_test")
+        runs = client.search_runs([exp.experiment_id])
+        assert runs and runs[0].tags.get("data") == "real"
+        assert runs[0].params.get("data_provenance") == "real"

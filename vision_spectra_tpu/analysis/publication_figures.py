@@ -69,12 +69,28 @@ class ScenarioMetrics:
     stable_rank_initial_mean: float = float("nan")
     stable_rank_final_mean: float = float("nan")
     num_runs: int = 0
+    surrogate: bool = False  # any included run trained on surrogate data
+
+
+def _is_surrogate_run(run) -> bool:
+    return (
+        run.tags.get("data") == "surrogate"
+        or run.params.get("data_provenance") == "surrogate"
+    )
 
 
 def extract_scenario_metrics(
-    scenario: str, tracking_uri: Path = MLRUNS_DIR
+    scenario: str,
+    tracking_uri: Path = MLRUNS_DIR,
+    include_surrogate: bool = False,
 ) -> ScenarioMetrics | None:
-    """Replay one scenario's metric histories (reference :160-265)."""
+    """Replay one scenario's metric histories (reference :160-265).
+
+    Surrogate-data runs (tag ``data=surrogate``) are EXCLUDED by default so
+    they can never blend into publication figures; pass
+    ``include_surrogate=True`` to include them, which marks the scenario's
+    display name with ``(surrogate)``.
+    """
     experiment_name = f"spectral_scenario_{scenario}"
     tracking.set_tracking_uri(tracking_uri)
     client = tracking.MlflowClient(tracking_uri)
@@ -86,8 +102,16 @@ def extract_scenario_metrics(
         r for r in client.search_runs([exp.experiment_id])
         if r.info.status == "FINISHED"
     ]
+    n_surrogate = sum(_is_surrogate_run(r) for r in runs)
+    if not include_surrogate and n_surrogate:
+        logger.warning(
+            "Scenario %s: excluding %d surrogate-data run(s) "
+            "(use --include-surrogate to keep them, clearly marked)",
+            scenario, n_surrogate,
+        )
+        runs = [r for r in runs if not _is_surrogate_run(r)]
     if not runs:
-        logger.warning("No finished runs for '%s'", experiment_name)
+        logger.warning("No usable finished runs for '%s'", experiment_name)
         return None
 
     accs = []
@@ -113,13 +137,15 @@ def extract_scenario_metrics(
             sr_final.append(sr[-1].value)
 
     meta = SCENARIO_METADATA.get(scenario, {"name": scenario, "description": ""})
+    any_surrogate = any(_is_surrogate_run(r) for r in runs)
+    display_name = meta["name"] + (" (surrogate)" if any_surrogate else "")
 
     def m(vals):
         return float(np.mean(vals)) if vals else float("nan")
 
     return ScenarioMetrics(
         scenario=scenario,
-        name=meta["name"],
+        name=display_name,
         description=meta["description"],
         accuracy_mean=m(accs),
         accuracy_std=float(np.std(accs)) if accs else float("nan"),
@@ -131,15 +157,17 @@ def extract_scenario_metrics(
         stable_rank_initial_mean=m(sr_init),
         stable_rank_final_mean=m(sr_final),
         num_runs=len(runs),
+        surrogate=any_surrogate,
     )
 
 
 def extract_all_scenarios(
     tracking_uri: Path = MLRUNS_DIR,
+    include_surrogate: bool = False,
 ) -> dict[str, ScenarioMetrics]:
     out = {}
     for s in "ABCDEF":
-        m = extract_scenario_metrics(s, tracking_uri)
+        m = extract_scenario_metrics(s, tracking_uri, include_surrogate)
         if m is not None:
             out[s] = m
     return out
@@ -166,7 +194,15 @@ def generate_delta_alpha_bar(metrics, out_dir: Path) -> list[Path]:
     vals = [metrics[s].delta_alpha_mean for s in scenarios]
     stds = [metrics[s].delta_alpha_std for s in scenarios]
     colors = [SCENARIO_COLORS[s] for s in scenarios]
-    ax.bar(scenarios, vals, yerr=stds, capsize=4, color=colors, alpha=0.85)
+    hatches = ["//" if metrics[s].surrogate else None for s in scenarios]
+    labels = [s + ("*" if metrics[s].surrogate else "") for s in scenarios]
+    bars = ax.bar(labels, vals, yerr=stds, capsize=4, color=colors, alpha=0.85)
+    for bar, hatch in zip(bars, hatches):
+        if hatch:
+            bar.set_hatch(hatch)
+    if any(hatches):
+        ax.text(0.99, 0.02, "* surrogate data", transform=ax.transAxes,
+                ha="right", fontsize=8, color="gray")
     ax.axhline(
         OVERCOMPRESSION_THRESHOLD, color="red", ls="--", lw=1.2,
         label=f"over-compression threshold ({OVERCOMPRESSION_THRESHOLD})",
@@ -268,6 +304,7 @@ def build_summary(metrics) -> dict:
     return {
         s: {
             "name": m.name,
+            "data": "surrogate" if m.surrogate else "real",
             "num_runs": m.num_runs,
             "accuracy_mean": m.accuracy_mean,
             "accuracy_std": m.accuracy_std,
@@ -340,6 +377,8 @@ def generate_latex_table(metrics, out_dir: Path) -> Path:
 
 
 def _common(f):
+    f = click.option("--include-surrogate", is_flag=True, default=False,
+                     help="Include surrogate-data runs (marked in outputs)")(f)
     f = click.option("--output-dir", "out_dir", type=click.Path(path_type=Path),
                      default=FIGURES_DIR, help="Figure output directory")(f)
     f = click.option("--tracking-uri", type=click.Path(path_type=Path),
@@ -354,9 +393,9 @@ def figures() -> None:
 
 @figures.command("generate")
 @_common
-def generate(tracking_uri, out_dir):
+def generate(tracking_uri, out_dir, include_surrogate):
     """All four figures (reference :559-618)."""
-    metrics = extract_all_scenarios(tracking_uri)
+    metrics = extract_all_scenarios(tracking_uri, include_surrogate)
     if not metrics:
         click.echo("No scenario runs found.", err=True)
         raise SystemExit(1)
@@ -371,9 +410,9 @@ def generate(tracking_uri, out_dir):
 
 @figures.command("summary")
 @_common
-def summary(tracking_uri, out_dir):
+def summary(tracking_uri, out_dir, include_surrogate):
     """results_summary.json (reference :621-793)."""
-    metrics = extract_all_scenarios(tracking_uri)
+    metrics = extract_all_scenarios(tracking_uri, include_surrogate)
     out_dir.mkdir(parents=True, exist_ok=True)
     path = out_dir / "results_summary.json"
     with open(path, "w") as f:
@@ -383,26 +422,26 @@ def summary(tracking_uri, out_dir):
 
 @figures.command("table")
 @_common
-def table(tracking_uri, out_dir):
+def table(tracking_uri, out_dir, include_surrogate):
     """Results table image (reference :796-874)."""
-    metrics = extract_all_scenarios(tracking_uri)
+    metrics = extract_all_scenarios(tracking_uri, include_surrogate)
     for p in generate_results_table(metrics, out_dir):
         click.echo(str(p))
 
 
 @figures.command("latex-table")
 @_common
-def latex_table(tracking_uri, out_dir):
+def latex_table(tracking_uri, out_dir, include_surrogate):
     """LaTeX results table (reference :877-905)."""
-    metrics = extract_all_scenarios(tracking_uri)
+    metrics = extract_all_scenarios(tracking_uri, include_surrogate)
     click.echo(str(generate_latex_table(metrics, out_dir)))
 
 
 @figures.command("stats")
 @_common
-def stats_cmd(tracking_uri, out_dir):
+def stats_cmd(tracking_uri, out_dir, include_surrogate):
     """Pairwise t-tests → statistical_tests.json (reference :908-962)."""
-    metrics = extract_all_scenarios(tracking_uri)
+    metrics = extract_all_scenarios(tracking_uri, include_surrogate)
     tests = run_statistical_tests(metrics)
     out_dir.mkdir(parents=True, exist_ok=True)
     path = out_dir / "statistical_tests.json"
@@ -413,9 +452,9 @@ def stats_cmd(tracking_uri, out_dir):
 
 @figures.command("all")
 @_common
-def all_cmd(tracking_uri, out_dir):
+def all_cmd(tracking_uri, out_dir, include_surrogate):
     """Figures + table + LaTeX + summary + stats (reference :965-1083)."""
-    metrics = extract_all_scenarios(tracking_uri)
+    metrics = extract_all_scenarios(tracking_uri, include_surrogate)
     if not metrics:
         click.echo("No scenario runs found.", err=True)
         raise SystemExit(1)

@@ -35,6 +35,9 @@ def _build_config(
     mask_ratio=None,
     cls_weight=None,
     mim_weight=None,
+    data_axis=None,
+    model_axis=None,
+    aug_mode=None,
 ):
     """CLI > YAML > defaults precedence (reference: cli.py:97-114)."""
     from vision_spectra_tpu.config import DatasetName, ExperimentConfig, LossName
@@ -63,6 +66,12 @@ def _build_config(
         cfg.loss.mtl_cls_weight = cls_weight
     if mim_weight is not None:
         cfg.loss.mtl_mim_weight = mim_weight
+    if data_axis is not None:
+        cfg.parallel.data_axis = data_axis
+    if model_axis is not None:
+        cfg.parallel.model_axis = model_axis
+    if aug_mode is not None:
+        cfg.dataset.aug_mode = aug_mode
     return cfg
 
 
@@ -103,6 +112,9 @@ def _prepare(cfg):
 
 def _common_options(defaults):
     def deco(f):
+        f = click.option("--model-axis", default=None, type=int, help="Tensor-parallel mesh axis size (default 1)")(f)
+        f = click.option("--data-axis", default=None, type=int, help="Data-parallel mesh axis size (-1 = all devices)")(f)
+        f = click.option("--aug-mode", default=None, type=click.Choice(["fused", "torchvision"]), help="Train augmentation semantics")(f)
         f = click.option("--output-dir", type=click.Path(path_type=Path), default=Path("runs"), help="Output directory")(f)
         f = click.option("--data-dir", type=click.Path(path_type=Path), default=Path("data"), help="Data directory")(f)
         f = click.option("--smoke-test", is_flag=True, default=False, help="Quick test mode")(f)
@@ -133,7 +145,8 @@ def main() -> None:
 @click.option("--loss", "-l", default="cross_entropy", help="Loss function")
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
-              smoke_test, data_dir, output_dir, loss, model):
+              smoke_test, data_dir, output_dir, aug_mode, data_axis,
+              model_axis, loss, model):
     """Train a ViT classifier (reference: cli.py:72-157)."""
     from vision_spectra_tpu.config import LossName
     from vision_spectra_tpu.losses import get_loss
@@ -143,7 +156,8 @@ def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
         config_path, name=name, dataset=dataset, epochs=epochs,
         batch_size=batch_size, lr=lr, seed=seed, device=device,
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
-        model=model, loss=loss,
+        model=model, loss=loss, data_axis=data_axis, model_axis=model_axis,
+        aug_mode=aug_mode,
     )
     ds, info, encoder, desc, _ = _prepare(cfg)
     counts = (
@@ -163,7 +177,8 @@ def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
 @click.option("--mask-ratio", default=0.75, help="Masking ratio")
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_path,
-                 smoke_test, data_dir, output_dir, mask_ratio, model):
+                 smoke_test, data_dir, output_dir, aug_mode, data_axis,
+                 model_axis, mask_ratio, model):
     """MAE-style masked-image-modeling pretraining (reference: cli.py:160-244)."""
     from vision_spectra_tpu.models import MIMModel
     from vision_spectra_tpu.training import MIMTrainer
@@ -172,7 +187,8 @@ def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_pat
         config_path, name=name, dataset=dataset, epochs=epochs,
         batch_size=batch_size, lr=lr, seed=seed, device=device,
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
-        model=model, mask_ratio=mask_ratio,
+        model=model, mask_ratio=mask_ratio, data_axis=data_axis,
+        model_axis=model_axis, aug_mode=aug_mode,
     )
     ds, info, encoder, desc, dtype = _prepare(cfg)
     mim = MIMModel(
@@ -197,8 +213,8 @@ def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_pat
 @click.option("--freeze", "freeze_encoder", is_flag=True, default=False, help="Freeze encoder")
 @click.option("--encoder-lr-scale", default=0.1, help="Encoder LR scale for layer-wise LR")
 def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
-             config_path, smoke_test, data_dir, output_dir, loss,
-             freeze_encoder, encoder_lr_scale):
+             config_path, smoke_test, data_dir, output_dir, aug_mode,
+             data_axis, model_axis, loss, freeze_encoder, encoder_lr_scale):
     """Finetune from a pretrained checkpoint (reference: cli.py:247-338)."""
     from vision_spectra_tpu.losses import get_loss
     from vision_spectra_tpu.training import FinetuneTrainer
@@ -208,7 +224,8 @@ def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
         config_path, name=name, dataset=dataset, epochs=epochs,
         batch_size=batch_size, lr=lr, seed=seed, device=device,
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
-        loss=loss,
+        loss=loss, data_axis=data_axis, model_axis=model_axis,
+        aug_mode=aug_mode,
     )
     # Read the model architecture out of the saved checkpoint config.
     ckpt = load_checkpoint(checkpoint)
@@ -240,8 +257,8 @@ def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
 @click.option("--mask-ratio", default=0.5, help="MIM mask ratio")
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def train_mtl(dataset, epochs, batch_size, lr, seed, device, name, config_path,
-              smoke_test, data_dir, output_dir, loss, cls_weight, mim_weight,
-              mask_ratio, model):
+              smoke_test, data_dir, output_dir, aug_mode, data_axis,
+              model_axis, loss, cls_weight, mim_weight, mask_ratio, model):
     """Multitask classification + MIM training (reference: cli.py:341-444)."""
     from vision_spectra_tpu.losses import get_loss
     from vision_spectra_tpu.models import MultitaskViT
@@ -253,6 +270,7 @@ def train_mtl(dataset, epochs, batch_size, lr, seed, device, name, config_path,
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
         model=model, loss=loss, mask_ratio=mask_ratio,
         cls_weight=cls_weight, mim_weight=mim_weight,
+        data_axis=data_axis, model_axis=model_axis, aug_mode=aug_mode,
     )
     ds, info, encoder, desc, dtype = _prepare(cfg)
     mtl = MultitaskViT(

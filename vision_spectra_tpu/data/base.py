@@ -149,6 +149,12 @@ class BaseDataset(ABC):
     @abstractmethod
     def get_info(self) -> DatasetInfo: ...
 
+    @property
+    def data_provenance(self) -> str:
+        """``"real"`` or ``"surrogate"`` — surfaced as a run tag so surrogate
+        numbers can never silently blend into figures (VERDICT r1 item 3)."""
+        return "surrogate" if getattr(self, "surrogate", False) else "real"
+
     def get_train_loader(self, shuffle: bool = True, seed: int = 0) -> Loader:
         return Loader(
             self.get_train_split(),

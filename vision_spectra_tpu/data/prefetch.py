@@ -25,11 +25,19 @@ class PrefetchLoader:
     """Wraps a Loader with a producer thread and bounded queue."""
 
     def __init__(
-        self, loader: Loader, prefetch: int = 2, to_device: bool = True
+        self,
+        loader: Loader,
+        prefetch: int = 2,
+        to_device: bool = True,
+        sharding=None,
     ) -> None:
         self.loader = loader
         self.prefetch = max(1, prefetch)
         self.to_device = to_device
+        # Optional jax.sharding.Sharding: place prefetched batches directly
+        # onto the mesh (leading dim over the data axis) so the consuming
+        # jitted step gets committed, correctly-sharded inputs.
+        self.sharding = sharding
 
     def __len__(self) -> int:
         return len(self.loader)
@@ -48,8 +56,8 @@ class PrefetchLoader:
                 for batch in self.loader:
                     if self.to_device:
                         batch = Batch(
-                            images=jax.device_put(batch.images),
-                            labels=jax.device_put(batch.labels),
+                            images=jax.device_put(batch.images, self.sharding),
+                            labels=jax.device_put(batch.labels, self.sharding),
                             mask=batch.mask,
                         )
                     q.put(batch)

@@ -51,10 +51,16 @@ class SweepConfig:
     losses: list[LossName] = field(default_factory=lambda: list(DEFAULT_LOSSES))
     seeds: list[int] = field(default_factory=lambda: list(DEFAULT_SEEDS))
     epochs: int = 50
+    patience: int = 10
     batch_size: int = 64
     learning_rate: float = 1e-4
     sample_ratio: float = 1.0
+    device: str = "auto"
     fast_mode: bool = False  # disables spectral logging
+    log_every_n_epochs: int = 5
+    log_first_epochs: bool = True
+    track_distributions: bool = True
+    save_distribution_history: bool = True
     smoke_test: bool = False
     output_dir: Path = MLRUNS_DIR
     data_dir: Path = DATA_DIR
@@ -80,11 +86,22 @@ def _experiment_config(sweep: SweepConfig, loss: LossName, seed: int) -> Experim
             batch_size=sweep.batch_size,
             sample_ratio=sweep.sample_ratio,
         ),
+        device=sweep.device,
         model=ModelConfig(name=sweep.model),
         loss=LossConfig(classification=loss),
         optimizer=OptimizerConfig(learning_rate=sweep.learning_rate),
-        training=TrainingConfig(epochs=sweep.epochs, smoke_test=sweep.smoke_test),
-        spectral=SpectralConfig(enabled=not sweep.fast_mode),
+        training=TrainingConfig(
+            epochs=sweep.epochs,
+            smoke_test=sweep.smoke_test,
+            patience=sweep.patience,
+        ),
+        spectral=SpectralConfig(
+            enabled=not sweep.fast_mode,
+            log_every_n_epochs=sweep.log_every_n_epochs,
+            log_first_epochs=sweep.log_first_epochs,
+            track_distributions=sweep.track_distributions,
+            save_distribution_history=sweep.save_distribution_history,
+        ),
         output_dir=sweep.output_dir,
         data_dir=sweep.data_dir,
     )
@@ -222,15 +239,26 @@ def classification() -> None:
 @click.option("--seeds", "-s", multiple=True, type=int, help="Seeds (default: 42,123,456,789,1024)")
 @click.option("--num-seeds", default=None, type=int, help="Derive seeds as 42+100i")
 @click.option("--epochs", "-e", default=50)
+@click.option("--patience", "-p", default=10, help="Early-stopping patience")
 @click.option("--batch-size", "-b", default=64)
 @click.option("--lr", default=1e-4)
-@click.option("--sample-ratio", default=1.0)
-@click.option("--fast-mode", is_flag=True, default=False, help="Disable spectral logging")
+@click.option("--sample-ratio", "-r", default=1.0)
+@click.option("--device", default="auto", help="Device (auto/cpu/tpu)")
+@click.option("--fast-mode", "--fast", "-f", is_flag=True, default=False, help="Disable spectral logging")
+@click.option("--log-every-n-epochs", default=5, help="Spectral logging cadence")
+@click.option("--log-first-epochs/--no-log-first-epochs", default=True,
+              help="Log spectral metrics for the first 5 epochs")
+@click.option("--track-distributions/--no-track-distributions", default=True,
+              help="Track full singular-value distributions as JSON arrays")
+@click.option("--save-distribution-history/--no-save-distribution-history",
+              default=True, help="Save spectral history JSON + histogram plots")
 @click.option("--smoke-test", is_flag=True, default=False)
-@click.option("--output-dir", type=click.Path(path_type=Path), default=MLRUNS_DIR)
+@click.option("--output-dir", "--output", "-o", type=click.Path(path_type=Path), default=MLRUNS_DIR)
 @click.option("--data-dir", type=click.Path(path_type=Path), default=DATA_DIR)
-def run(dataset, model, losses, seeds, num_seeds, epochs, batch_size, lr,
-        sample_ratio, fast_mode, smoke_test, output_dir, data_dir):
+def run(dataset, model, losses, seeds, num_seeds, epochs, patience, batch_size,
+        lr, sample_ratio, device, fast_mode, log_every_n_epochs,
+        log_first_epochs, track_distributions, save_distribution_history,
+        smoke_test, output_dir, data_dir):
     """Run the loss × seed sweep (reference :537-715)."""
     sweep = SweepConfig(
         dataset=dataset,
@@ -242,10 +270,16 @@ def run(dataset, model, losses, seeds, num_seeds, epochs, batch_size, lr,
             else ([int(s) for s in seeds] if seeds else list(DEFAULT_SEEDS))
         ),
         epochs=epochs,
+        patience=patience,
         batch_size=batch_size,
         learning_rate=lr,
         sample_ratio=sample_ratio,
+        device=device,
         fast_mode=fast_mode,
+        log_every_n_epochs=log_every_n_epochs,
+        log_first_epochs=log_first_epochs,
+        track_distributions=track_distributions,
+        save_distribution_history=save_distribution_history,
         smoke_test=smoke_test,
         output_dir=Path(output_dir),
         data_dir=Path(data_dir),

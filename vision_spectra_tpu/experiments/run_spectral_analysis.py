@@ -186,11 +186,14 @@ def extract_and_analyze_weights(params: Any) -> dict[str, Any]:
     """QKV + attn-proj + MLP spectra via batched device SVD.
 
     Reference: run_spectral_analysis.py:297-345. Returns per_layer_metrics,
-    aggregated_metrics, and full singular-value arrays per layer.
+    aggregated_metrics, and full singular-value arrays per layer. All
+    matrices ride ONE padded batched SVD dispatch (spectral/metrics.py
+    ``batched_spectral_metrics_padded``), so a snapshot costs a single
+    device round trip and the SVD compiles once per canonical padded shape.
     """
     from vision_spectra_tpu.spectral import (
         aggregate_spectral_metrics,
-        batched_spectral_metrics,
+        batched_spectral_metrics_padded,
         extract_attention_weights,
         extract_mlp_weights,
         extract_qkv_weights,
@@ -201,23 +204,14 @@ def extract_and_analyze_weights(params: Any) -> dict[str, Any]:
         + extract_attention_weights(params)
         + extract_mlp_weights(params)
     )
-    per_layer_metrics: dict[str, dict[str, float]] = {}
-    singular_values: dict[str, list[float]] = {}
-    # Orientation-normalized grouping: SVs are transpose-invariant, so the
-    # mlp_up/mlp_down pairs share one batched SVD dispatch + compilation.
-    canonical: dict[tuple[int, int], list] = {}
-    for w in weights:
-        if len(w.shape) != 2:
-            continue
-        m, n = w.shape
-        canonical.setdefault((min(m, n), max(m, n)), []).append(w)
-    for (m, n), group in canonical.items():
-        mats = [jnp.asarray(w.weight, jnp.float32) for w in group]
-        mats = [x if x.shape == (m, n) else x.T for x in mats]
-        svs, metric_dicts = batched_spectral_metrics(jnp.stack(mats))
-        for w, s, md in zip(group, svs, metric_dicts):
-            per_layer_metrics[w.name] = md
-            singular_values[w.name] = np.asarray(s, np.float64).tolist()
+    weights = [w for w in weights if len(w.shape) == 2]
+    svs, metric_dicts = batched_spectral_metrics_padded(
+        [w.weight for w in weights]
+    )
+    per_layer_metrics = {w.name: md for w, md in zip(weights, metric_dicts)}
+    singular_values = {
+        w.name: np.asarray(s, np.float64).tolist() for w, s in zip(weights, svs)
+    }
     aggregated = aggregate_spectral_metrics(list(per_layer_metrics.values()))
     return {
         "per_layer_metrics": per_layer_metrics,
@@ -278,17 +272,19 @@ def log_spectral_artifacts(
 
 
 def _build_loaders(config: ScenarioConfig, seed: int, data_dir: Path):
+    """Returns (train_loader, val_loader, data_provenance)."""
     if config.dataset_name == "synthetic":
         from vision_spectra_tpu.data.synthetic import create_synthetic_dataset
 
-        return create_synthetic_dataset(
+        train, val, _ = create_synthetic_dataset(
             num_classes=config.num_classes,
             num_samples_train=config.num_samples or 1000,
             num_samples_val=200,
             num_samples_test=200,
             batch_size=config.batch_size,
             seed=seed,
-        )[:2]
+        )
+        return train, val, "real"
     from vision_spectra_tpu.data import get_dataset
 
     ds_cfg = DatasetConfig(
@@ -297,7 +293,7 @@ def _build_loaders(config: ScenarioConfig, seed: int, data_dir: Path):
         sample_ratio=1.0 if config.num_samples is None else 0.5,
     )
     ds = get_dataset(ds_cfg, data_dir)
-    return ds.get_train_loader(seed=seed), ds.get_val_loader()
+    return ds.get_train_loader(seed=seed), ds.get_val_loader(), ds.data_provenance
 
 
 def run_scenario_experiment(
@@ -353,7 +349,17 @@ def run_scenario_experiment(
             num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
             tracking.log_param("num_parameters", num_params)
 
-            train_loader, val_loader = _build_loaders(config, seed, data_dir)
+            train_loader, val_loader, provenance = _build_loaders(
+                config, seed, data_dir
+            )
+            tracking.set_tag("data", provenance)
+            tracking.log_param("data_provenance", provenance)
+            if provenance == "surrogate":
+                logger.warning(
+                    "Scenario %s seed %d runs on SURROGATE data — figures "
+                    "exclude it unless --include-surrogate is passed",
+                    config.scenario.value, seed,
+                )
 
             # Plain CE + AdamW(wd=0.05), constant LR — the reference recipe.
             opt_cfg = OptimizerConfig(
@@ -615,17 +621,23 @@ def compare(output_dir):
     tracking.set_tracking_uri(output_dir)
     client = tracking.MlflowClient(output_dir)
     table = Table(title="Spectral Scenario Comparison")
-    for col in ("Scenario", "Runs", "Val Acc %", "Delta alpha", "Stable rank (final)"):
+    for col in ("Scenario", "Runs", "Data", "Val Acc %", "Delta alpha",
+                "Stable rank (final)"):
         table.add_column(col)
     for st in ScenarioType:
         exp = client.get_experiment_by_name(f"spectral_scenario_{st.value}")
         if exp is None:
-            table.add_row(st.value, "0", "-", "-", "-")
+            table.add_row(st.value, "0", "-", "-", "-", "-")
             continue
         runs = [
             r for r in client.search_runs([exp.experiment_id])
             if r.info.status == "FINISHED"
         ]
+        provenances = {
+            r.tags.get("data", r.params.get("data_provenance", "real"))
+            for r in runs
+        }
+        data_col = "/".join(sorted(provenances)) if provenances else "-"
         accs, deltas, srs = [], [], []
         for run in runs:
             acc = run.metrics.get("final/val_accuracy")
@@ -645,6 +657,7 @@ def compare(output_dir):
         table.add_row(
             st.value,
             str(len(runs)),
+            data_col,
             f"{np.mean(accs):.2f}" if accs else "-",
             f"{np.mean(deltas):+.4f}" if deltas else "-",
             f"{np.mean(srs):.2f}" if srs else "-",

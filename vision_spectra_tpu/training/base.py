@@ -76,6 +76,35 @@ class BaseTrainer:
         self.run_name = run_name or config.name
 
         self.info = dataset.get_info()
+
+        # Device mesh (data × model axes). Active whenever more than one
+        # device is visible (data parallelism is the default) or tensor
+        # parallelism is requested; single-device runs skip all sharding.
+        self.mesh = None
+        self._batch_sharding = None
+        par = config.parallel
+        n_devices = len(jax.devices())
+        if par.model_axis > 1 or (n_devices > 1 and par.data_axis != 1):
+            from vision_spectra_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+            )
+
+            self.mesh = make_mesh(par.data_axis, par.model_axis)
+            self._batch_sharding = batch_sharding(self.mesh)
+            data = self.mesh.shape["data"]
+            if config.dataset.batch_size % data != 0:
+                raise ValueError(
+                    f"batch_size {config.dataset.batch_size} must be divisible "
+                    f"by the data-parallel axis ({data} devices)"
+                )
+            logger.info(
+                "Mesh active: data=%d model=%d (%d devices)",
+                data,
+                self.mesh.shape["model"],
+                n_devices,
+            )
+
         self.train_loader = dataset.get_train_loader(seed=config.seed)
         self.val_loader = dataset.get_val_loader()
         # num_workers > 0 enables producer-thread prefetch with ahead-of-time
@@ -84,7 +113,9 @@ class BaseTrainer:
             from vision_spectra_tpu.data.prefetch import PrefetchLoader
 
             self.train_loader = PrefetchLoader(
-                self.train_loader, prefetch=max(2, config.parallel.prefetch)
+                self.train_loader,
+                prefetch=max(2, config.parallel.prefetch),
+                sharding=self._batch_sharding,
             )
 
         self.epochs = config.training.epochs
@@ -92,6 +123,10 @@ class BaseTrainer:
 
         self._base_key = jax.random.key(config.seed)
         self.state = self._init_state()
+        if self.mesh is not None:
+            from vision_spectra_tpu.parallel.mesh import shard_state
+
+            self.state = shard_state(self.mesh, self.state)
         self.schedule = LRSchedule(
             config.optimizer, self.epochs, steps_per_epoch=len(self.train_loader)
         )
@@ -172,6 +207,20 @@ class BaseTrainer:
     def step_key(self, global_step: int) -> jax.Array:
         return jax.random.fold_in(self._base_key, global_step)
 
+    # -- sharding ------------------------------------------------------------
+
+    def put_batch(self, *arrays):
+        """Place host batch arrays onto the mesh (leading dim over ``data``).
+
+        Explicit placement is what makes the jitted step data-parallel: jit
+        honors committed input shardings, and XLA inserts the gradient
+        all-reduce over ICI. Single-device (no mesh): pass-through.
+        """
+        if self._batch_sharding is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        out = tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
     # -- main loop -----------------------------------------------------------
 
     def train(self) -> dict[str, float]:
@@ -183,6 +232,10 @@ class BaseTrainer:
         start = time.time()
         with tracking.start_run(run_name=self.run_name):
             tracking.log_params(cfg.to_flat_dict())
+            # Provenance tag: surrogate-backed runs must be distinguishable
+            # downstream (figures exclude them by default).
+            tracking.set_tag("data", self.dataset.data_provenance)
+            tracking.log_param("data_provenance", self.dataset.data_provenance)
 
             # Pre-training (epoch 0) spectral snapshot — the Δα anchor.
             self._log_spectral(epoch=0)

@@ -115,10 +115,11 @@ class ClassificationTrainer(BaseTrainer):
             if i >= self.num_train_batches:
                 break
             lr = jnp.float32(self.schedule.lr_for_step(self.global_step))
+            images, labels = self.put_batch(batch.images, batch.labels)
             self.state, acc = self._train_step(
                 self.state,
-                batch.images,
-                batch.labels,
+                images,
+                labels,
                 self.step_key(self.global_step),
                 lr,
                 self.lr_mult,
@@ -136,9 +137,10 @@ class ClassificationTrainer(BaseTrainer):
         for i, batch in enumerate(self.val_loader):
             if i >= self.num_val_batches:
                 break
-            stats, probs = self._eval_step(
-                self.state, batch.images, batch.labels, batch.mask, stats
+            images, labels, mask = self.put_batch(
+                batch.images, batch.labels, batch.mask
             )
+            stats, probs = self._eval_step(self.state, images, labels, mask, stats)
             probs_parts.append(probs)  # stays on device
             labels_parts.append(batch.labels)
             mask_parts.append(batch.mask)

@@ -52,6 +52,7 @@ def fuse_train_core(
     train_core: Callable,
     batch_size: int,
     stats_len: int,
+    mesh: Any | None = None,
 ) -> Callable:
     """Fuse a per-step ``train_core`` into a whole-epoch device program.
 
@@ -61,7 +62,19 @@ def fuse_train_core(
     LR or a per-step [steps] float32 array (warmup-exact), and ``stats`` is
     the summed ``stats_len``-vector accumulator. Drops the last partial
     batch (reference train-loader semantics).
+
+    With a ``mesh``, a sharding constraint splits each scanned batch over the
+    ``data`` axis (the split arrays themselves stay replicated — their length
+    need not divide the device count), so every step inside the scan runs
+    data-parallel with XLA's gradient all-reduce over ICI.
     """
+    batch_constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vision_spectra_tpu.parallel.mesh import DATA_AXIS
+
+        batch_constraint = NamedSharding(mesh, P(None, DATA_AXIS))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(state: TrainState, images, labels, key, lrs, lr_mult=None):
@@ -78,6 +91,13 @@ def fuse_train_core(
         shuffled_labels = jnp.take(labels, order, axis=0).reshape(
             steps, batch_size
         )
+        if batch_constraint is not None:
+            shuffled_images = jax.lax.with_sharding_constraint(
+                shuffled_images, batch_constraint
+            )
+            shuffled_labels = jax.lax.with_sharding_constraint(
+                shuffled_labels, batch_constraint
+            )
 
         def body(carry, step_inputs):
             state, acc = carry
@@ -157,12 +177,22 @@ class FusedEpochMixin:
     def _build_step_fns(self) -> None:
         super()._build_step_fns()
         split = self.dataset.get_train_split()
-        self._train_images_dev = jax.device_put(split.images)
-        self._train_labels_dev = jax.device_put(split.labels)
+        if self.mesh is not None:
+            # Replicate the resident split (its length need not divide the
+            # device count); the in-program constraint shards each batch.
+            from vision_spectra_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            self._train_images_dev = jax.device_put(split.images, rep)
+            self._train_labels_dev = jax.device_put(split.labels, rep)
+        else:
+            self._train_images_dev = jax.device_put(split.images)
+            self._train_labels_dev = jax.device_put(split.labels)
         self._fused_epoch = fuse_train_core(
             self._train_core,
             batch_size=self.config.dataset.batch_size,
             stats_len=self._stats_len,
+            mesh=self.mesh,
         )
 
     def train_epoch(self, epoch: int) -> dict[str, float]:

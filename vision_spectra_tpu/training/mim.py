@@ -99,7 +99,7 @@ class MIMTrainer(BaseTrainer):
             lr = jnp.float32(self.schedule.lr_for_step(self.global_step))
             self.state, acc = self._train_step(
                 self.state,
-                batch.images,
+                self.put_batch(batch.images),
                 self.step_key(self.global_step),
                 lr,
                 acc,
@@ -115,7 +115,7 @@ class MIMTrainer(BaseTrainer):
                 break
             acc = self._eval_step(
                 self.state,
-                batch.images,
+                self.put_batch(batch.images),
                 jax.random.fold_in(self._base_key, 10_000_000 + i),
                 acc,
             )

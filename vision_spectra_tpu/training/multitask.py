@@ -148,10 +148,11 @@ class MultitaskTrainer(BaseTrainer):
             if i >= self.num_train_batches:
                 break
             lr = jnp.float32(self.schedule.lr_for_step(self.global_step))
+            images, labels = self.put_batch(batch.images, batch.labels)
             self.state, acc = self._train_step(
                 self.state,
-                batch.images,
-                batch.labels,
+                images,
+                labels,
                 self.step_key(self.global_step),
                 lr,
                 self.lr_mult,
@@ -166,11 +167,14 @@ class MultitaskTrainer(BaseTrainer):
         for i, batch in enumerate(self.val_loader):
             if i >= self.num_val_batches:
                 break
+            images, labels, mask = self.put_batch(
+                batch.images, batch.labels, batch.mask
+            )
             stats = self._eval_step(
                 self.state,
-                batch.images,
-                batch.labels,
-                batch.mask,
+                images,
+                labels,
+                mask,
                 jax.random.fold_in(self._base_key, 20_000_000 + i),
                 stats,
             )
