@@ -83,3 +83,65 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
         )
+
+
+class TestFlashBackward:
+    """Gradient parity of the flash custom VJP vs the XLA attention path
+    (Pallas interpret mode on CPU; VERDICT r1 item 5)."""
+
+    def _grads(self, fn, q, k, v):
+        def loss(q, k, v):
+            out = fn(q, k, v)
+            # Non-trivial cotangent: weight by position.
+            w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+            return jnp.sum(out * w) / out.size
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def _xla(self, q, k, v):
+        scale = q.shape[-1] ** -0.5
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    @pytest.mark.parametrize("n", [256, 300])  # aligned + padded
+    def test_grad_parity(self, n):
+        q, k, v = _qkv(b=1, h=2, n=n, d=32, seed=3)
+        flash = lambda q, k, v: flash_mha(q, k, v, interpret=True)  # noqa: E731
+        g_flash = self._grads(flash, q, k, v)
+        g_xla = self._grads(self._xla, q, k, v)
+        for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), rtol=2e-4, atol=2e-5,
+                err_msg=f"d{name} mismatch at n={n}",
+            )
+
+    def test_forward_still_matches(self):
+        q, k, v = _qkv(b=1, h=2, n=260, d=32, seed=5)
+        out_f = flash_mha(q, k, v, interpret=True)
+        out_x = self._xla(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_x), rtol=2e-5, atol=2e-6
+        )
+
+    def test_mha_selects_flash_during_training(self):
+        """The dispatcher uses flash for long sequences even when
+        deterministic=False, as long as attention dropout is off."""
+        import unittest.mock as mock
+
+        q, k, v = _qkv(b=1, h=1, n=256, d=16, seed=7)
+        with mock.patch(
+            "vision_spectra_tpu.ops.flash_attention.flash_mha",
+            wraps=flash_mha,
+        ) as spy:
+            mha(q, k, v, deterministic=False, dropout_rate=0.0, use_flash=True)
+            assert spy.called
+        with mock.patch(
+            "vision_spectra_tpu.ops.flash_attention.flash_mha",
+            wraps=flash_mha,
+        ) as spy:
+            mha(
+                q, k, v, deterministic=False, dropout_rate=0.1,
+                dropout_rng=jax.random.key(0), use_flash=True,
+            )
+            assert not spy.called

@@ -225,3 +225,76 @@ class TestTracker:
         new = loaded.history[0].distributions[0]
         np.testing.assert_allclose(new.singular_values, orig.singular_values)
         assert new.metrics.keys() == orig.metrics.keys()
+
+
+class TestPaddedDynamicMetrics:
+    """Padded single-dispatch SVD path: dynamic-length metrics match the
+    host float64 path regardless of padding (VERDICT r1 item 7)."""
+
+    def test_mixed_shapes_match_host(self):
+        from vision_spectra_tpu.spectral import (
+            batched_spectral_metrics_padded,
+            get_spectral_metrics,
+        )
+
+        rng = np.random.RandomState(0)
+        mats = [
+            rng.randn(96, 96).astype(np.float32),
+            rng.randn(288, 96).astype(np.float32),  # gets transposed
+            rng.randn(192, 768).astype(np.float32),
+            rng.randn(32, 128).astype(np.float32),
+        ]
+        svs, dev_metrics = batched_spectral_metrics_padded(mats)
+        for mat, s, dm in zip(mats, svs, dev_metrics):
+            assert len(s) == min(mat.shape)
+            host = get_spectral_metrics(mat)
+            for key, hv in host.items():
+                assert dm[key] == pytest.approx(hv, rel=5e-3, abs=1e-4), (
+                    f"{key}: device {dm[key]} vs host {hv} for {mat.shape}"
+                )
+
+    def test_padding_is_invisible(self):
+        """Same matrix alone vs mixed into a big padded batch: same metrics."""
+        from vision_spectra_tpu.spectral import batched_spectral_metrics_padded
+
+        rng = np.random.RandomState(1)
+        w = rng.randn(48, 48).astype(np.float32)
+        svs_alone, m_alone = batched_spectral_metrics_padded([w])
+        big = rng.randn(192, 768).astype(np.float32)
+        svs_mixed, m_mixed = batched_spectral_metrics_padded([big, w, big])
+        np.testing.assert_allclose(svs_alone[0], svs_mixed[1], rtol=2e-4,
+                                   atol=1e-4)
+        for key in m_alone[0]:
+            assert m_alone[0][key] == pytest.approx(m_mixed[1][key], rel=1e-3,
+                                                    abs=1e-4)
+
+    def test_shared_compilation_across_model_sizes(self):
+        """Two 'models' whose matrices bucket to the same canonical shape
+        share one compiled SVD program."""
+        from vision_spectra_tpu.spectral.metrics import (
+            _batched_spectra_dynamic,
+            bucket_dim,
+        )
+
+        rng = np.random.RandomState(2)
+        assert bucket_dim(96) == 96 and bucket_dim(100) == 128
+        before = _batched_spectra_dynamic._cache_size()
+        import jax.numpy as jnp
+
+        # model 1: true 90x350, model 2: true 60x300 — same bucket (96? no)
+        a = jnp.zeros((4, 96, 384), jnp.float32).at[:, :90, :350].set(
+            jnp.asarray(rng.randn(4, 90, 350), jnp.float32))
+        b = jnp.zeros((4, 96, 384), jnp.float32).at[:, :60, :300].set(
+            jnp.asarray(rng.randn(4, 60, 300), jnp.float32))
+        _batched_spectra_dynamic(a, jnp.full((4,), 90, jnp.int32))
+        _batched_spectra_dynamic(b, jnp.full((4,), 60, jnp.int32))
+        after = _batched_spectra_dynamic._cache_size()
+        assert after - before == 1  # one compile serves both true sizes
+
+    def test_bucket_ladder(self):
+        from vision_spectra_tpu.spectral import bucket_dim
+
+        assert bucket_dim(1) == 8
+        assert bucket_dim(192) == 192
+        assert bucket_dim(577) == 768
+        assert bucket_dim(5000) == 5120

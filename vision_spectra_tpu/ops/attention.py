@@ -39,7 +39,10 @@ def mha(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    if use_flash and deterministic and q.shape[-2] >= 256:
+    # Flash path covers training too (custom VJP with Pallas backward
+    # kernels); attention dropout is the only feature it lacks, so fall back
+    # to the XLA path when dropout is actually active.
+    if use_flash and q.shape[-2] >= 256 and (deterministic or dropout_rate == 0.0):
         from vision_spectra_tpu.ops.flash_attention import flash_mha
 
         return flash_mha(q, k, v, scale=scale)

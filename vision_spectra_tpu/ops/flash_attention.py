@@ -1,14 +1,22 @@
-"""Blockwise (flash) attention Pallas kernel for TPU.
+"""Blockwise (flash) attention Pallas kernels for TPU — forward AND backward.
 
 Streaming-softmax attention that never materializes the [N, N] score matrix:
-for each query block the kernel walks key/value blocks keeping a running
-row-max ``m``, normalizer ``l``, and output accumulator — the standard
-flash-attention recurrence, implemented with the Pallas TPU primitives.
+for each query block the forward kernel walks key/value blocks keeping a
+running row-max ``m``, normalizer ``l``, and output accumulator — the
+standard flash-attention recurrence — and emits the log-sum-exp per row.
+The backward pass is a ``jax.custom_vjp`` with two more Pallas kernels
+(the FlashAttention-2 recomputation scheme):
+
+- dQ kernel: one program per (batch·head, q-block); streams K/V blocks,
+  recomputes ``P = exp(S − lse)``, accumulates ``dQ = scale · dS @ K`` with
+  ``dS = P ⊙ (dO @ Vᵀ − Δ)`` and ``Δ = rowsum(dO ⊙ O)``.
+- dK/dV kernel: one program per (batch·head, k-block); streams Q/dO blocks,
+  accumulating ``dV = Pᵀ @ dO`` and ``dK = scale · dSᵀ @ Q``.
 
 At this framework's native sequence lengths (2–197 tokens) plain XLA
 attention is faster (everything fits in VMEM anyway); the kernel exists so
-attention scales to long sequences without an API change and is enabled by
-``use_flash=True`` on the model (ops/attention.py picks it for N ≥ 256).
+attention scales to long sequences without an API change and is selected by
+``use_flash=True`` on the model for N ≥ 256 (ops/attention.py).
 
 Reference context: the reference computes attention inside timm /
 ``nn.MultiheadAttention`` (vision_spectra/models/vit.py:160-168) with no
@@ -29,7 +37,14 @@ DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, n_keys: int):
+# =============================================================================
+# Forward kernel
+# =============================================================================
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k: int, n_keys: int
+):
     """One (batch·head, q-block) program: stream K/V blocks through softmax."""
     q = q_ref[...]  # [block_q, d]
     block_q, d = q.shape
@@ -66,8 +81,222 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, n_k
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[...] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[...] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[...] = (m + jnp.log(l_safe)).astype(lse_ref.dtype)
+
+
+def _flash_forward(qf, kf, vf, scale, block_q, block_k, n_valid, interpret):
+    """Padded flat [BH, Np, D] inputs -> (out [BH, Np, D], lse [BH, Np])."""
+    bh, n_padded, d = qf.shape
+    grid = (bh, n_padded // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, block_k=block_k, n_keys=n_valid
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_padded, d), lambda bh, qb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_padded, d), lambda bh, qb: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_padded, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, n_padded, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out, lse
+
+
+# =============================================================================
+# Backward kernels
+# =============================================================================
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale: float, block_k: int, n_keys: int,
+):
+    """dQ for one (batch·head, q-block): stream K/V blocks."""
+    q = q_ref[...]  # [block_q, d]
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...]  # [block_q, 1]
+    delta = delta_ref[...]  # [block_q, 1]
+    block_q, d = q.shape
+    num_kb = pl.cdiv(k_ref.shape[0], block_k)
+
+    def body(kb, acc):
+        ks = k_ref[pl.ds(kb * block_k, block_k), :]
+        vs = v_ref[pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        p = jnp.where(key_idx < n_keys, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, vs.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, ks.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[...] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale: float, block_q: int, n_keys: int,
+):
+    """dK/dV for one (batch·head, k-block): stream Q/dO blocks."""
+    ks = k_ref[...]  # [block_k, d]
+    vs = v_ref[...].astype(jnp.float32)
+    block_k, d = ks.shape
+    kb = pl.program_id(1)
+    num_qb = pl.cdiv(q_ref.shape[0], block_q)
+    key_idx = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_k), 1
+    )  # [1, block_k]
+
+    def body(qb, carry):
+        dk, dv = carry
+        qs = q_ref[pl.ds(qb * block_q, block_q), :]
+        dos = do_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(qb * block_q, block_q), :]  # [block_q, 1]
+        delta = delta_ref[pl.ds(qb * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            qs, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [block_q, block_k]
+        p = jnp.where(key_idx < n_keys, jnp.exp(s - lse), 0.0)
+        dv_new = dv + jax.lax.dot_general(
+            p, dos, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_k, d]
+        dp = jax.lax.dot_general(
+            dos, vs, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_k]
+        ds = p * (dp - delta)
+        dk_new = dk + jax.lax.dot_general(
+            ds, qs.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_k, d]
+        return dk_new, dv_new
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    qf, kf, vf, out, lse, dof, scale, block_q, block_k, n_valid, interpret
+):
+    bh, n_padded, d = qf.shape
+    delta = jnp.sum(dof.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [BH, Np, 1]
+
+    full = lambda bh_i, blk: (bh_i, 0, 0)  # noqa: E731 — whole-row specs
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, block_k=block_k, n_keys=n_valid
+        ),
+        grid=(bh, n_padded // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, qb: (b, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_padded, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_padded, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda b, qb: (b, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda b, qb: (b, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda b, qb: (b, qb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, qb: (b, qb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_padded, d), qf.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, block_q=block_q, n_keys=n_valid
+        ),
+        grid=(bh, n_padded // block_k),
+        in_specs=[
+            pl.BlockSpec((None, n_padded, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda b, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda b, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_padded, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_padded, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_padded, 1), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda b, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda b, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_padded, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, n_padded, d), qf.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+    return dq, dk, dv
+
+
+# =============================================================================
+# custom_vjp wiring
+# =============================================================================
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(qf, kf, vf, scale, block_q, block_k, n_valid, interpret):
+    out, _ = _flash_forward(qf, kf, vf, scale, block_q, block_k, n_valid, interpret)
+    return out
+
+
+def _flash_fwd_rule(qf, kf, vf, scale, block_q, block_k, n_valid, interpret):
+    out, lse = _flash_forward(qf, kf, vf, scale, block_q, block_k, n_valid, interpret)
+    return out, (qf, kf, vf, out, lse)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, n_valid, interpret, res, dout):
+    qf, kf, vf, out, lse = res
+    dq, dk, dv = _flash_backward(
+        qf, kf, vf, out, lse, dout, scale, block_q, block_k, n_valid, interpret
+    )
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 @functools.partial(
@@ -83,12 +312,20 @@ def flash_mha(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention over [B, H, N, D] tensors (non-causal, no dropout)."""
+    """Flash attention over [B, H, N, D] tensors (non-causal, no dropout).
+
+    Differentiable: gradients flow through the Pallas backward kernels via
+    ``jax.custom_vjp`` (pad/slice around the kernel are handled by autodiff).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if not interpret and jax.default_backend() != "tpu":
+        # Pallas TPU kernels only compile on TPU; elsewhere (CPU tests,
+        # debugging) run the same kernels in interpret mode.
+        interpret = True
     b, h, n, d = q.shape
 
-    pad_n = (-n) % block_q
+    pad_n = (-n) % max(block_q, block_k)
     if pad_n:
         cfg = [(0, 0), (0, 0), (0, pad_n), (0, 0)]
         q = jnp.pad(q, cfg)
@@ -100,31 +337,5 @@ def flash_mha(
     kf = k.reshape(b * h, n_padded, d)
     vf = v.reshape(b * h, n_padded, d)
 
-    grid = (b * h, n_padded // block_q)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, n_keys=n
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (None, block_q, d), lambda bh, qb: (bh, qb, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, n_padded, d), lambda bh, qb: (bh, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, n_padded, d), lambda bh, qb: (bh, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, block_q, d), lambda bh, qb: (bh, qb, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_padded, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf)
+    out = _flash(qf, kf, vf, float(scale), block_q, block_k, n, interpret)
     return out.reshape(b, h, n_padded, d)[:, :, :n, :]

@@ -17,6 +17,9 @@ from vision_spectra_tpu.spectral.metrics import (
     alpha_exponent,
     batched_singular_values,
     batched_spectral_metrics,
+    batched_spectral_metrics_padded,
+    bucket_dim,
+    metrics_from_singular_values_dynamic,
     get_spectral_metrics,
     metrics_from_singular_values,
     power_law_alpha_hill,
@@ -41,6 +44,9 @@ __all__ = [
     "alpha_exponent",
     "batched_singular_values",
     "batched_spectral_metrics",
+    "batched_spectral_metrics_padded",
+    "bucket_dim",
+    "metrics_from_singular_values_dynamic",
     "compute_distributions",
     "extract_all_weights",
     "extract_attention_weights",

@@ -41,8 +41,11 @@ __all__ = [
     "aggregate_spectral_metrics",
     "METRIC_KEYS",
     "metrics_from_singular_values",
+    "metrics_from_singular_values_dynamic",
     "batched_spectral_metrics",
+    "batched_spectral_metrics_padded",
     "batched_singular_values",
+    "bucket_dim",
 ]
 
 METRIC_KEYS = ("spectral_entropy", "stable_rank", "alpha_exponent", "pl_alpha_hill")
@@ -307,6 +310,170 @@ def _batched_spectra(stack, compute_metrics: bool = True):
 def batched_singular_values(stack) -> np.ndarray:
     """Device-batched SVD spectra for a [G, m, n] stack; returns numpy [G, k]."""
     return np.asarray(_batched_spectra(jnp.asarray(stack), compute_metrics=False))
+
+
+def metrics_from_singular_values_dynamic(s, n_true):
+    """All four metrics from a zero-padded descending SV vector — pure jnp.
+
+    ``s`` has static padded length; ``n_true`` (traced int32 scalar) is the
+    true spectrum length (``min(m, n)`` of the unpadded matrix). Window
+    boundaries for the alpha/Hill fits are computed from ``n_true`` with
+    index masks, reproducing the host-path semantics exactly — this is what
+    lets matrices of DIFFERENT true shapes share one compiled program (the
+    SVD compiles once per *padded* shape, not once per model size).
+    """
+    size = s.shape[-1]
+    idx = jnp.arange(size)
+    in_range = idx < n_true
+    valid = in_range & jnp.isfinite(s) & (s > 0)
+    s = jnp.where(valid, s, 0.0)
+    s2 = s * s
+    total = jnp.sum(s2)
+
+    # Entropy (zero entries contribute nothing).
+    p = s2 / jnp.where(total > 0, total, 1.0)
+    ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0))
+    ent = jnp.where(total > 0, ent, jnp.nan)
+
+    # Stable rank.
+    top = jnp.max(s)
+    srank = jnp.where(top > 0, total / (top * top), jnp.nan)
+
+    # Alpha exponent: OLS over the dynamic [10%, 60%] bulk window
+    # (host semantics: start = max(1, int(0.10 m)),
+    #  end = min(max(start + 6, int(0.60 m)), m), need m >= 8, end-start >= 2).
+    start = jnp.maximum(1, jnp.floor(0.10 * n_true).astype(jnp.int32))
+    end = jnp.minimum(
+        jnp.maximum(start + 6, jnp.floor(0.60 * n_true).astype(jnp.int32)),
+        n_true,
+    )
+    ok_window = (n_true >= 8) & (end - start >= 2)
+    wmask = ((idx >= start) & (idx < end) & (s > 0)).astype(s.dtype)
+    log_i = jnp.log(jnp.maximum(idx + 1, 1).astype(s.dtype))
+    log_s = jnp.log(jnp.where(s > 0, s, 1.0))
+    n_w = jnp.sum(wmask)
+    n_w_safe = jnp.where(n_w > 0, n_w, 1.0)
+    mean_x = jnp.sum(log_i * wmask) / n_w_safe
+    mean_y = jnp.sum(log_s * wmask) / n_w_safe
+    cov = jnp.sum(wmask * (log_i - mean_x) * (log_s - mean_y))
+    var = jnp.sum(wmask * (log_i - mean_x) ** 2)
+    alpha = jnp.where(
+        ok_window & (n_w >= 2) & (var > 0),
+        -cov / jnp.where(var > 0, var, 1.0),
+        jnp.nan,
+    )
+
+    # Hill estimator: k = min(max(5, int(0.10 n)), n-1) over eigenvalues.
+    k = jnp.minimum(
+        jnp.maximum(5, jnp.floor(0.10 * n_true).astype(jnp.int32)),
+        jnp.maximum(n_true - 1, 1),
+    )
+    xmin = jnp.take(s2, jnp.clip(k - 1, 0, size - 1))
+    xmin_safe = jnp.where(xmin > 0, xmin, 1.0)
+    tail_mask = (idx < k) & (s2 > 0)
+    h = jnp.sum(jnp.where(tail_mask, jnp.log(s2 / xmin_safe), 0.0)) / jnp.maximum(
+        k, 1
+    )
+    hill = jnp.where(
+        (n_true >= 8) & (xmin > 0) & (h > 0), 1.0 + 1.0 / h, jnp.nan
+    )
+
+    return {
+        "spectral_entropy": ent,
+        "stable_rank": srank,
+        "alpha_exponent": alpha,
+        "pl_alpha_hill": hill,
+    }
+
+
+# Canonical dimension ladder: padding every matrix up to a ladder shape means
+# a handful of SVD compilations cover every model size in a sweep (the cold
+# per-model SVD compile was ~20 s on TPU — VERDICT r1 item 7).
+_DIM_LADDER = (8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
+               1536, 2048, 3072, 4096)
+
+
+def bucket_dim(x: int) -> int:
+    """Smallest ladder value ≥ x (multiples of 1024 beyond the ladder)."""
+    for b in _DIM_LADDER:
+        if x <= b:
+            return b
+    return ((x + 1023) // 1024) * 1024
+
+
+def _pow2_ceil(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+@jax.jit
+def _batched_spectra_dynamic(stack, n_true):
+    """SVD a zero-padded [G, M, N] stack; per-row dynamic-length metrics.
+
+    Returns packed [G, min(M,N)+4] (SVs then METRIC_KEYS). Compiled once per
+    PADDED shape — shared by every model whose matrices bucket to (M, N).
+    """
+    s = jnp.linalg.svd(stack.astype(jnp.float32), compute_uv=False)
+    metrics = jax.vmap(metrics_from_singular_values_dynamic)(s, n_true)
+    return jnp.concatenate(
+        [s] + [metrics[k][:, None] for k in METRIC_KEYS], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("target", "batch"))
+def _pad_stack(mats: tuple, target: tuple, batch: int):
+    """Orient (min-dim first), zero-pad to ``target``, stack, pad batch.
+
+    Compiles per (input-shapes, target) combination — a trivial pad/stack
+    program, unlike the SVD which only ever compiles per padded shape.
+    """
+    tm, tn = target
+    padded = []
+    for m in mats:
+        x = m.astype(jnp.float32)
+        if x.shape[0] > x.shape[1]:
+            x = x.T
+        x = jnp.pad(x, ((0, tm - x.shape[0]), (0, tn - x.shape[1])))
+        padded.append(x)
+    stack = jnp.stack(padded)
+    if batch > len(mats):
+        stack = jnp.pad(stack, ((0, batch - len(mats)), (0, 0), (0, 0)))
+    return stack
+
+
+def batched_spectral_metrics_padded(
+    weights_and_shapes: list,
+) -> tuple[list[np.ndarray], list[dict[str, float]]]:
+    """Spectra + metrics for matrices of MIXED shapes in ONE device program.
+
+    Args:
+        weights_and_shapes: list of 2-D arrays (numpy or device-resident).
+
+    Every matrix is orientation-normalized, zero-padded to one canonical
+    ladder shape, and the whole set is SVD'd in a single batched dispatch.
+    Returns per-matrix (true-length SVs, metric dict), in input order.
+    """
+    mats = list(weights_and_shapes)
+    if not mats:
+        return [], []
+    dims = [(min(m.shape), max(m.shape)) for m in mats]
+    tm = bucket_dim(max(d[0] for d in dims))
+    tn = max(bucket_dim(max(d[1] for d in dims)), tm)
+    batch = _pow2_ceil(len(mats))
+    stack = _pad_stack(tuple(jnp.asarray(m) for m in mats), (tm, tn), batch)
+    n_true = jnp.asarray(
+        [d[0] for d in dims] + [0] * (batch - len(mats)), jnp.int32
+    )
+    packed = np.asarray(_batched_spectra_dynamic(stack, n_true))  # one fetch
+    k = packed.shape[1] - len(METRIC_KEYS)
+    svs = [packed[g, : dims[g][0]] for g in range(len(mats))]
+    per_matrix = [
+        {key: float(packed[g, k + j]) for j, key in enumerate(METRIC_KEYS)}
+        for g in range(len(mats))
+    ]
+    return svs, per_matrix
 
 
 def batched_spectral_metrics(stack) -> tuple[np.ndarray, list[dict[str, float]]]:

@@ -27,7 +27,7 @@ from vision_spectra_tpu.spectral.extraction import (
 )
 from vision_spectra_tpu.spectral.metrics import (
     aggregate_spectral_metrics,
-    batched_spectral_metrics,
+    batched_spectral_metrics_padded,
     get_spectral_metrics,
 )
 
@@ -116,9 +116,12 @@ def compute_distributions(
 ) -> list[SpectralDistribution]:
     """Spectral distributions for a set of matrices.
 
-    ``on_device=True`` groups matrices by shape and runs one batched jitted
-    SVD + metrics kernel per group; ``False`` falls back to per-matrix host
-    float64 SVDs (the reference-equivalent path).
+    ``on_device=True`` orientation-normalizes every matrix, zero-pads to ONE
+    canonical ladder shape, and runs a single batched jitted SVD + metrics
+    program (dynamic true-length masking) — one device dispatch per snapshot
+    and one SVD compilation per *padded* shape, shared across model sizes.
+    ``False`` falls back to per-matrix host float64 SVDs (the
+    reference-equivalent path).
     """
     if not on_device:
         out = []
@@ -128,29 +131,12 @@ def compute_distributions(
                 out.append(d)
         return out
 
-    import jax.numpy as jnp
-
-    # Group by orientation-normalized shape: singular values are transpose
-    # invariant, so [768, 192] and [192, 768] matrices share one batched SVD
-    # dispatch (and one compilation — TPU SVD compiles are expensive).
-    canonical: dict[tuple[int, int], list] = {}
-    for w in weights:
-        if len(w.shape) != 2:
-            continue
-        m, n = w.shape
-        canonical.setdefault((min(m, n), max(m, n)), []).append(w)
-
-    by_name: dict[str, SpectralDistribution] = {}
-    for (m, n), group in canonical.items():
-        mats = [
-            jnp.asarray(w.weight, dtype=jnp.float32) for w in group
-        ]
-        mats = [x if x.shape == (m, n) else x.T for x in mats]
-        svs, metric_dicts = batched_spectral_metrics(jnp.stack(mats))
-        for w, s, mm in zip(group, svs, metric_dicts):
-            by_name[w.name] = _distribution_from_svs(s, w.name, w.matrix_type, mm)
-    # Preserve input order.
-    return [by_name[w.name] for w in weights if w.name in by_name]
+    group = [w for w in weights if len(w.shape) == 2]
+    svs, metric_dicts = batched_spectral_metrics_padded([w.weight for w in group])
+    return [
+        _distribution_from_svs(s, w.name, w.matrix_type, mm)
+        for w, s, mm in zip(group, svs, metric_dicts)
+    ]
 
 
 @dataclass
