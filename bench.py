@@ -178,8 +178,136 @@ def main() -> None:
     )
     per_chip = max(per_chip, per_chip_streaming)
 
+    # Secondary: fused epochs for the OTHER regimes (MIM / multitask /
+    # finetune) — one lax.scan program each, like classification.
+    from vision_spectra_tpu.models import MIMModel, MultitaskViT
+    from vision_spectra_tpu.training.fused import fuse_train_core
+    from vision_spectra_tpu.training.state import build_lr_mult
+    from vision_spectra_tpu.data.transforms import mim_augment
+
+    n_small = 16384
+    imgs_small = images_dev[:n_small]
+    labs_small = labels_dev[:n_small]
+
+    def bench_fused(tag, core, params, stats_len, lr_mult=None, epochs=2):
+        st = TrainState.create(params, tx)
+        fn = fuse_train_core(core, batch_size=batch_size, stats_len=stats_len)
+        st, acc = fn(st, imgs_small, labs_small, jax.random.key(0), lr, lr_mult)
+        np.asarray(acc)  # compile + honest sync
+        t0 = time.perf_counter()
+        for e in range(epochs):
+            st, acc = fn(st, imgs_small, labs_small, jax.random.key(e + 1), lr,
+                         lr_mult)
+        np.asarray(acc)
+        dt = time.perf_counter() - t0
+        ips = epochs * (n_small // batch_size) * batch_size / dt / max(1, n_devices)
+        print(f"{tag} (fused epoch): {ips:,.0f} img/s/chip", file=sys.stderr)
+        return ips
+
+    # MIM
+    mim = MIMModel(encoder=model, decoder_embed_dim=128, decoder_depth=2,
+                   decoder_num_heads=4, mask_ratio=0.75, dtype=dtype)
+    mim_params = mim.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)}, sample, 0.75
+    )["params"]
+
+    def mim_core(state, imgs, labs, key, lr_s, lr_mult):
+        k_aug, k_drop, k_mask = jax.random.split(key, 3)
+        x = mim_augment(imgs, k_aug, num_channels=3)
+
+        def loss_fn_(p):
+            loss, _pred, _mask = mim.apply(
+                {"params": p}, x, 0.75, deterministic=False,
+                rngs={"dropout": k_drop, "mask": k_mask})
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn_)(state.params)
+        state = apply_updates(state, grads, tx, lr_s, lr_mult)
+        return state, jnp.stack([loss, jnp.float32(1.0)])
+
+    bench_fused("pretrain-mim", mim_core, mim_params, 2)
+
+    # Multitask
+    mtl = MultitaskViT(encoder=model, decoder_embed_dim=128, decoder_depth=2,
+                       decoder_num_heads=4, mask_ratio=0.5, dtype=dtype)
+    mtl_params = mtl.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        sample, mode="multitask", mask_ratio=0.5,
+    )["params"]
+
+    def mtl_core(state, imgs, labs, key, lr_s, lr_mult):
+        k_aug, k_drop, k_mask = jax.random.split(key, 3)
+        x = train_augment(imgs, k_aug, num_channels=3)
+
+        def loss_fn_(p):
+            logits, mim_loss, _pred, _mask = mtl.apply(
+                {"params": p}, x, mode="multitask", mask_ratio=0.5,
+                deterministic=False, rngs={"dropout": k_drop, "mask": k_mask})
+            return loss_fn(logits, labs) + 0.5 * mim_loss
+
+        loss, grads = jax.value_and_grad(loss_fn_)(state.params)
+        state = apply_updates(state, grads, tx, lr_s, lr_mult)
+        return state, jnp.stack([loss, jnp.float32(1.0)])
+
+    bench_fused("train-mtl", mtl_core, mtl_params, 2)
+
+    # Finetune = classification core + per-leaf LR multipliers.
+    ft_params = model.init(jax.random.key(0), sample)["params"]
+
+    def ft_core(state, imgs, labs, key, lr_s, lr_mult):
+        k_aug, k_drop = jax.random.split(key)
+        x = train_augment(imgs, k_aug, num_channels=3)
+
+        def loss_fn_(p):
+            logits = model.apply({"params": p}, x, deterministic=False,
+                                 rngs={"dropout": k_drop})
+            return loss_fn(logits, labs)
+
+        loss, grads = jax.value_and_grad(loss_fn_)(state.params)
+        state = apply_updates(state, grads, tx, lr_s, lr_mult)
+        return state, jnp.stack([loss, jnp.float32(1.0)])
+
+    ft_mult = build_lr_mult(ft_params, rules=[("head", 1.0)], default=0.1)
+    bench_fused("finetune", ft_core, ft_params, 2, lr_mult=ft_mult)
+
+    # Flash attention vs XLA attention at long sequence (fwd + bwd).
+    from vision_spectra_tpu.ops.attention import mha
+    from vision_spectra_tpu.ops.flash_attention import flash_mha
+
+    bq, hq, nq, dq = 8, 12, 1024, 64
+    rngk = jax.random.key(42)
+    qkv = [
+        jax.random.normal(jax.random.fold_in(rngk, i), (bq, hq, nq, dq),
+                          jnp.bfloat16 if platform == "tpu" else jnp.float32)
+        for i in range(3)
+    ]
+
+    def time_attn(fn, tag):
+        @jax.jit
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+
+        grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        g = grad(*qkv)
+        np.asarray(jnp.reshape(g[0].astype(jnp.float32).sum(), (1,)))
+        n_it = 20
+        t0 = time.perf_counter()
+        for _ in range(n_it):
+            g = grad(*qkv)
+        np.asarray(jnp.reshape(g[0].astype(jnp.float32).sum(), (1,)))
+        ms = (time.perf_counter() - t0) / n_it * 1e3
+        print(f"attention fwd+bwd {tag} (B{bq} H{hq} N{nq} d{dq}): "
+              f"{ms:.2f} ms/iter", file=sys.stderr)
+        return ms
+
+    ms_xla = time_attn(
+        lambda q, k, v: mha(q, k, v, use_flash=False), "xla  ")
+    ms_flash = time_attn(
+        lambda q, k, v: flash_mha(q, k, v), "flash")
+    print(f"flash speedup at N={nq}: {ms_xla / ms_flash:.2f}x", file=sys.stderr)
+
     # Secondary: full-model spectral snapshot latency (on-device batched SVD,
-    # weights stay device-resident, one packed fetch per shape group).
+    # ONE padded dispatch per snapshot, one fetch).
     from vision_spectra_tpu.spectral import compute_distributions
 
     weights = extract_all_weights(state.params, layer_patterns=None)
@@ -192,6 +320,23 @@ def main() -> None:
     print(
         f"spectral snapshot ({len(weights)} matrices): "
         f"{svd_ms:.1f} ms warm ({svd_ms_cold:.0f} ms cold)",
+        file=sys.stderr,
+    )
+
+    # Cold snapshot for a NEW model size: matrices bucket to the same padded
+    # canonical shape family, so no fresh SVD compile (VERDICT r1 item 7).
+    model2, _ = build_vit(
+        "vit_tiny_patch16_224", num_classes=9, num_channels=3, image_size=28,
+        embed_dim=96, depth=3, dtype=dtype,
+    )
+    params2b = model2.init(jax.random.key(1), sample)["params"]
+    weights2 = extract_all_weights(params2b, layer_patterns=None)
+    t0 = time.perf_counter()
+    compute_distributions(weights2, on_device=True)
+    svd2_cold = (time.perf_counter() - t0) * 1e3
+    print(
+        f"spectral snapshot, NEW model size (96d/3L, {len(weights2)} "
+        f"matrices): {svd2_cold:.0f} ms cold",
         file=sys.stderr,
     )
 

@@ -74,3 +74,30 @@ def test_trainer_with_prefetch_workers(tmp_path):
     hist = trainer.train()
     assert hist["loss"] > 0
     trainer.cleanup()
+
+
+def test_abandoned_iterator_releases_thread():
+    """Partial iteration (next(iter(loader))) must not leak a blocked
+    producer thread."""
+    import gc
+    import threading
+    import time
+
+    import numpy as np
+
+    from vision_spectra_tpu.data.base import ArraySplit, Loader
+    from vision_spectra_tpu.data.prefetch import PrefetchLoader
+
+    split = ArraySplit(
+        np.zeros((64, 8, 8, 3), np.uint8), np.zeros(64, np.int32)
+    )
+    loader = PrefetchLoader(Loader(split, batch_size=4), prefetch=1,
+                            to_device=False)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(loader)
+        next(it)
+        del it
+        gc.collect()
+    time.sleep(0.5)  # give released threads time to exit
+    assert threading.active_count() <= before + 1

@@ -48,6 +48,7 @@ class PrefetchLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
 
         def produce() -> None:
             try:
@@ -60,15 +61,33 @@ class PrefetchLoader:
                             labels=jax.device_put(batch.labels, self.sharding),
                             mask=batch.mask,
                         )
-                    q.put(batch)
+                    # Bounded put with a stop check so an abandoned iterator
+                    # (e.g. ``next(iter(loader))``) releases the thread
+                    # instead of leaking it blocked on a full queue.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(_SENTINEL)
+                while not stop.is_set():
+                    try:
+                        q.put(_SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+            thread.join()
+        finally:
+            stop.set()

@@ -117,6 +117,12 @@ class BaseTrainer:
                 prefetch=max(2, config.parallel.prefetch),
                 sharding=self._batch_sharding,
             )
+            # Eval streams too — prefetch it as well (VERDICT r1 item 10).
+            self.val_loader = PrefetchLoader(
+                self.val_loader,
+                prefetch=max(2, config.parallel.prefetch),
+                sharding=self._batch_sharding,
+            )
 
         self.epochs = config.training.epochs
         self.smoke_test = config.training.smoke_test
