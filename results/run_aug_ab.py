@@ -1,0 +1,109 @@
+"""A/B test: fused single-resample vs torchvision-faithful augmentation.
+
+Runs the synthetic scenarios (A / D / E — the ones with published reference
+numbers reproducible in this environment) under BOTH augmentation modes,
+3 seeds each, and prints a comparison against the reference README table.
+VERDICT r1 item 1: pick the mode that brings accuracy within +-1 pt.
+
+Usage (TPU):  PYTHONPATH=/root/repo:$PYTHONPATH python results/run_aug_ab.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from vision_spectra_tpu.core.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+from vision_spectra_tpu.experiments.run_spectral_analysis import (  # noqa: E402
+    SCENARIO_CONFIGS,
+    ScenarioType,
+    run_scenario_experiment,
+)
+
+REFERENCE = {  # /root/reference/README.md:93-98
+    "A": {"delta_alpha": 0.004, "accuracy": 96.5},
+    "D": {"delta_alpha": 0.009, "accuracy": 96.0},
+    "E": {"delta_alpha": 0.015, "accuracy": 86.5},
+}
+SEEDS = [42, 123, 456]
+SCENARIOS = [ScenarioType.A_EXPRESSIVE_SIMPLE,
+             ScenarioType.D_REDUCED_SIMPLE,
+             ScenarioType.E_TINY_SIMPLE]
+
+
+def main() -> None:
+    out_root = Path(__file__).parent / "aug_ab"
+    results: dict[str, dict[str, dict]] = {}
+    for aug_mode in ("fused", "torchvision"):
+        store = out_root / f"mlruns_{aug_mode}"
+        for st in SCENARIOS:
+            cfg = SCENARIO_CONFIGS[st]
+            accs, deltas = [], []
+            for seed in SEEDS:
+                r = run_scenario_experiment(
+                    cfg, seed, output_dir=store,
+                    histogram_artifacts=False, aug_mode=aug_mode,
+                )
+                if not r.success:
+                    print(f"FAILED {st.value} seed {seed}: {r.error_message}",
+                          file=sys.stderr)
+                    continue
+                hist = r.metrics_history
+                epochs_sorted = sorted(hist)
+                delta = (
+                    hist[epochs_sorted[-1]]["alpha_exponent_mean"]
+                    - hist[epochs_sorted[0]]["alpha_exponent_mean"]
+                )
+                accs.append(r.best_val_accuracy)
+                deltas.append(delta)
+                print(
+                    f"[{aug_mode}] {st.value} seed {seed}: "
+                    f"acc={r.best_val_accuracy:.2f}% dA={delta:+.4f} "
+                    f"({r.training_time:.0f}s)",
+                    flush=True,
+                )
+            ref = REFERENCE[st.value]
+            results.setdefault(aug_mode, {})[st.value] = {
+                "accuracy_mean": float(np.mean(accs)) if accs else None,
+                "accuracy_std": float(np.std(accs)) if accs else None,
+                "delta_alpha_mean": float(np.mean(deltas)) if deltas else None,
+                "acc_diff_vs_ref": (
+                    float(np.mean(accs) - ref["accuracy"]) if accs else None
+                ),
+                "dalpha_diff_vs_ref": (
+                    float(np.mean(deltas) - ref["delta_alpha"]) if deltas else None
+                ),
+                "seeds": SEEDS,
+                "per_seed_acc": accs,
+                "per_seed_dalpha": deltas,
+            }
+
+    out_root.mkdir(parents=True, exist_ok=True)
+    with open(out_root / "summary.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    print("\n=== A/B summary (target: |acc diff| <= 1.0 pt, |dA| <= 0.02) ===")
+    print(f"{'scn':3} {'mode':12} {'acc':>7} {'ref':>6} {'diff':>6}  "
+          f"{'dA':>8} {'ref':>7} {'diff':>7}")
+    for st in SCENARIOS:
+        ref = REFERENCE[st.value]
+        for aug_mode in ("fused", "torchvision"):
+            r = results[aug_mode][st.value]
+            if r["accuracy_mean"] is None:
+                continue
+            print(
+                f"{st.value:3} {aug_mode:12} {r['accuracy_mean']:7.2f} "
+                f"{ref['accuracy']:6.1f} {r['acc_diff_vs_ref']:+6.2f}  "
+                f"{r['delta_alpha_mean']:+8.4f} {ref['delta_alpha']:+7.3f} "
+                f"{r['dalpha_diff_vs_ref']:+7.4f}"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -129,7 +129,7 @@ class TestFlashBackward:
         deterministic=False, as long as attention dropout is off."""
         import unittest.mock as mock
 
-        q, k, v = _qkv(b=1, h=1, n=256, d=16, seed=7)
+        q, k, v = _qkv(b=1, h=1, n=1024, d=16, seed=7)
         with mock.patch(
             "vision_spectra_tpu.ops.flash_attention.flash_mha",
             wraps=flash_mha,

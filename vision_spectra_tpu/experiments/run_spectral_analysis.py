@@ -302,6 +302,7 @@ def run_scenario_experiment(
     output_dir: Path = MLRUNS_DIR,
     data_dir: Path = DATA_DIR,
     histogram_artifacts: bool = True,
+    aug_mode: str = "fused",
 ) -> ScenarioResult:
     """One scenario × seed run (reference: run_spectral_analysis.py:420-671).
 
@@ -337,6 +338,7 @@ def run_scenario_experiment(
                     "batch_size": config.batch_size,
                     "learning_rate": config.learning_rate,
                     "seed": seed,
+                    "aug_mode": aug_mode,
                 }
             )
 
@@ -375,12 +377,18 @@ def run_scenario_experiment(
             # fused scan programs with one packed metrics fetch each.
             train_images_dev = jax.device_put(train_loader.split.images)
             train_labels_dev = jax.device_put(train_loader.split.labels)
+            from vision_spectra_tpu.data.transforms import make_augment_fn
+
+            augment_fn = make_augment_fn(
+                3, "train_ref" if aug_mode == "torchvision" else "train"
+            )
             epoch_fn = make_fused_epoch_fn(
                 model,
                 cross_entropy_loss,
                 tx,
                 batch_size=config.batch_size,
                 num_channels=3,
+                augment_fn=augment_fn,
             )
 
             b = config.batch_size
@@ -532,6 +540,7 @@ def run_scenario(
     data_dir: Path = DATA_DIR,
     epochs: int | None = None,
     histogram_artifacts: bool = True,
+    aug_mode: str = "fused",
 ) -> list[ScenarioResult]:
     config = SCENARIO_CONFIGS[scenario]
     if epochs is not None:
@@ -543,6 +552,7 @@ def run_scenario(
             run_scenario_experiment(
                 config, seed, output_dir, data_dir,
                 histogram_artifacts=histogram_artifacts,
+                aug_mode=aug_mode,
             )
         )
     return results
@@ -567,10 +577,14 @@ def _scenario_command(letter: str):
     @click.option("--data-dir", type=click.Path(path_type=Path), default=DATA_DIR)
     @click.option("--no-histograms", is_flag=True, default=False,
                   help="Skip per-layer histogram artifacts (faster)")
-    def cmd(num_seeds, epochs, output_dir, data_dir, no_histograms):
+    @click.option("--aug-mode", default="fused",
+                  type=click.Choice(["fused", "torchvision"]),
+                  help="Train augmentation semantics")
+    def cmd(num_seeds, epochs, output_dir, data_dir, no_histograms, aug_mode):
         results = run_scenario(
             st, num_seeds, output_dir, data_dir, epochs,
             histogram_artifacts=not no_histograms,
+            aug_mode=aug_mode,
         )
         ok = sum(r.success for r in results)
         click.echo(f"Scenario {st.value}: {ok}/{len(results)} runs succeeded")
@@ -597,13 +611,17 @@ for _letter in "abcdef":
 @click.option("--output-dir", type=click.Path(path_type=Path), default=MLRUNS_DIR)
 @click.option("--data-dir", type=click.Path(path_type=Path), default=DATA_DIR)
 @click.option("--no-histograms", is_flag=True, default=False)
-def run_all(num_seeds, epochs, output_dir, data_dir, no_histograms):
+@click.option("--aug-mode", default="fused",
+              type=click.Choice(["fused", "torchvision"]),
+              help="Train augmentation semantics")
+def run_all(num_seeds, epochs, output_dir, data_dir, no_histograms, aug_mode):
     """Run all six scenarios (reference :914)."""
     all_results = {}
     for st in ScenarioType:
         results = run_scenario(
             st, num_seeds, output_dir, data_dir, epochs,
             histogram_artifacts=not no_histograms,
+            aug_mode=aug_mode,
         )
         all_results[st.value] = results
     for letter, results in all_results.items():
