@@ -31,7 +31,7 @@ REFERENCE = {  # /root/reference/README.md:93-98
     "D": {"delta_alpha": 0.009, "accuracy": 96.0},
     "E": {"delta_alpha": 0.015, "accuracy": 86.5},
 }
-SEEDS = [42, 123, 456]
+SEEDS = [42, 123, 456, 789, 1024, 7, 2024, 31337, 555, 90210]
 SCENARIOS = [ScenarioType.A_EXPRESSIVE_SIMPLE,
              ScenarioType.D_REDUCED_SIMPLE,
              ScenarioType.E_TINY_SIMPLE]
@@ -80,13 +80,13 @@ def main() -> None:
                     float(np.mean(deltas) - ref["delta_alpha"]) if deltas else None
                 ),
                 "seeds": SEEDS,
-                "per_seed_acc": accs,
-                "per_seed_dalpha": deltas,
+                "per_seed_acc": [float(a) for a in accs],
+                "per_seed_dalpha": [float(d) for d in deltas],
             }
 
     out_root.mkdir(parents=True, exist_ok=True)
     with open(out_root / "summary.json", "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(results, f, indent=2, default=float)
 
     print("\n=== A/B summary (target: |acc diff| <= 1.0 pt, |dA| <= 0.02) ===")
     print(f"{'scn':3} {'mode':12} {'acc':>7} {'ref':>6} {'diff':>6}  "

@@ -4,6 +4,9 @@ Pretrains MAE-style on synthetic shapes, then finetunes the encoder for
 classification with layer-wise LR, comparing against a from-scratch baseline
 at the same budget. Also runs one multitask training (BASELINE config #5
 component). Logs to results/mlruns.
+
+Round 2: all four stages run FUSED epochs (one lax.scan device program per
+epoch, per-step LR array) - r1 streamed per-step and took 35 min.
 """
 
 import time
@@ -28,10 +31,10 @@ from vision_spectra_tpu.data import get_dataset
 from vision_spectra_tpu.losses import get_loss
 from vision_spectra_tpu.models import MIMModel, MultitaskViT, build_vit
 from vision_spectra_tpu.training import (
-    ClassificationTrainer,
-    FinetuneTrainer,
-    MIMTrainer,
-    MultitaskTrainer,
+    FusedClassificationTrainer,
+    FusedFinetuneTrainer,
+    FusedMIMTrainer,
+    FusedMultitaskTrainer,
 )
 
 OUT = Path("/root/repo/results/mlruns")
@@ -92,14 +95,14 @@ def main() -> None:
         decoder_num_heads=cfg.model.decoder_num_heads,
         mask_ratio=cfg.model.mask_ratio,
     )
-    pre = MIMTrainer(cfg, mim, ds)
+    pre = FusedMIMTrainer(cfg, mim, ds)
     hist = pre.train()
     print(f"[{time.time()-t0:.0f}s] MIM pretrain: {hist}", flush=True)
     ckpt = pre.temp_dir / "best.msgpack"
 
     # 2. Finetune from the pretrained encoder (10 epochs, layer-wise LR).
     cfg_ft = cfg_for("pipeline_finetune", epochs=10, lr=1e-3)
-    ft = FinetuneTrainer(
+    ft = FusedFinetuneTrainer(
         cfg_ft,
         build_encoder(cfg_ft, info),
         ds,
@@ -112,7 +115,7 @@ def main() -> None:
 
     # 3. From-scratch baseline at the same finetune budget.
     cfg_sc = cfg_for("pipeline_scratch", epochs=10, lr=1e-3)
-    sc = ClassificationTrainer(
+    sc = FusedClassificationTrainer(
         cfg_sc, build_encoder(cfg_sc, info), ds, get_loss(cfg_sc.loss)
     )
     hist_sc = sc.train()
@@ -126,7 +129,7 @@ def main() -> None:
         decoder_depth=cfg_mtl.model.decoder_depth,
         mask_ratio=0.5,
     )
-    mt = MultitaskTrainer(cfg_mtl, mtl, ds, get_loss(cfg_mtl.loss))
+    mt = FusedMultitaskTrainer(cfg_mtl, mtl, ds, get_loss(cfg_mtl.loss))
     hist_mtl = mt.train()
     print(f"[{time.time()-t0:.0f}s] multitask: {hist_mtl}", flush=True)
 
