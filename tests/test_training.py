@@ -525,3 +525,38 @@ class TestFusedRegimes:
                         jax.tree.leaves(state2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6)
+
+
+class TestKeepTopK:
+    def test_periodic_checkpoints_pruned(self, tmp_path):
+        """keep_top_k bounds periodic epoch checkpoints; best.msgpack stays.
+
+        (The reference accepts keep_top_k but never enforces it —
+        settings.py:182; enforced here as a documented improvement.)
+        """
+        from vision_spectra_tpu import tracking
+        from vision_spectra_tpu.training import ClassificationTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_topk")
+        cfg = cfg.model_copy(update={
+            "training": TrainingConfig(
+                epochs=5, smoke_test=False, early_stopping=False,
+                save_every_n_epochs=1, keep_top_k=2,
+            ),
+        })
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        model = _build_encoder(cfg, ds.get_info())
+        trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+        trainer.train()
+        client = tracking.MlflowClient(cfg.output_dir)
+        exp = client.get_experiment_by_name("test_topk")
+        runs = client.search_runs([exp.experiment_id])
+        from pathlib import Path
+
+        art = Path(runs[0].info.artifact_uri.replace("file://", ""))
+        ckpts = sorted(p.name for p in (art / "checkpoints").glob("*.msgpack"))
+        epoch_ckpts = [c for c in ckpts if c.startswith("epoch_")]
+        assert len(epoch_ckpts) == 2, ckpts
+        assert epoch_ckpts == ["epoch_0004.msgpack", "epoch_0005.msgpack"]
+        assert "best.msgpack" in ckpts
+        trainer.cleanup()

