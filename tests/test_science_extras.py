@@ -178,3 +178,56 @@ class TestTailTruncation:
             truncate_attention_weights({}, keep_ratio=0.5, energy=0.5)
         with pytest.raises(ValueError):
             truncate_attention_weights({})
+
+
+class TestAlignmentInTrainer:
+    def test_alignment_logged_at_spectral_cadence(self, tmp_path):
+        """spectral.track_gradient_alignment wires the U·Vᵀ instrument into
+        the trainer loop (opt-in; the reference never calls it)."""
+        from vision_spectra_tpu import tracking
+        from vision_spectra_tpu.config import (
+            DatasetConfig,
+            DatasetName,
+            ExperimentConfig,
+            ModelConfig,
+            SpectralConfig,
+            TrainingConfig,
+        )
+        from vision_spectra_tpu.data import get_dataset
+        from vision_spectra_tpu.losses import get_loss
+        from vision_spectra_tpu.models import build_vit
+        from vision_spectra_tpu.training import ClassificationTrainer
+
+        cfg = ExperimentConfig(
+            name="align_test",
+            dataset=DatasetConfig(
+                name=DatasetName.SYNTHETIC, batch_size=8, num_classes=3,
+                num_samples_train=16, num_samples_val=8, num_samples_test=8,
+            ),
+            model=ModelConfig(name="vit_tiny_patch4_28", embed_dim=32, depth=1,
+                              drop_path_rate=0.0),
+            training=TrainingConfig(epochs=1, smoke_test=True),
+            spectral=SpectralConfig(
+                enabled=True, layers=["blocks.0"],
+                track_gradient_alignment=True,
+            ),
+            output_dir=tmp_path / "mlruns",
+            data_dir=tmp_path / "data",
+        )
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        info = ds.get_info()
+        model, _ = build_vit(cfg.model.name, num_classes=info.num_classes,
+                             num_channels=info.num_channels, image_size=28,
+                             embed_dim=32, depth=1, drop_path_rate=0.0)
+        trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
+        trainer.train()
+        trainer.cleanup()
+
+        client = tracking.MlflowClient(cfg.output_dir)
+        exp = client.get_experiment_by_name("align_test")
+        run = client.search_runs([exp.experiment_id])[0]
+        hist = client.get_metric_history(run.info.run_id, "alignment/mean_cosine")
+        assert len(hist) >= 1
+        assert all(-1.0 <= m.value <= 1.0 for m in hist)
+        n_layers = client.get_metric_history(run.info.run_id, "alignment/num_layers")
+        assert n_layers[0].value > 0

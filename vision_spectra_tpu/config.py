@@ -220,6 +220,12 @@ class SpectralConfig(BaseModel):
     # TPU-native knob: compute SVDs on device (batched, under jit) vs host f64.
     on_device: bool = Field(default=True)
 
+    # Opt-in: log gradient alignment with the rank-reducing direction (U·Vᵀ)
+    # at the spectral cadence. The reference ships the instrument but never
+    # wires it into a trainer (metrics/gradient_alignment.py); here it is one
+    # flag away.
+    track_gradient_alignment: bool = Field(default=False)
+
 
 class ParallelConfig(BaseModel):
     """Device mesh / parallelism configuration (new; TPU-native).

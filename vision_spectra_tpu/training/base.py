@@ -345,6 +345,36 @@ class BaseTrainer:
         )
         tracking.log_metric("spectral/compute_seconds", time.time() - t0, step=epoch)
         self._save_epoch_spectral_artifacts(epoch)
+        if self.config.spectral.track_gradient_alignment:
+            self._log_gradient_alignment(epoch)
+
+    def _alignment_grads(self):
+        """Gradients of the training loss on one batch, WITHOUT an update.
+
+        Regime subclasses override; None (default) skips alignment logging.
+        """
+        return None
+
+    def _log_gradient_alignment(self, epoch: int) -> None:
+        """Alignment of grads with the rank-reducing direction U·Vᵀ.
+
+        Opt-in instrument (spectral.track_gradient_alignment) — the reference
+        ships the math but never calls it from a trainer
+        (metrics/gradient_alignment.py:118-154).
+        """
+        grads = self._alignment_grads()
+        if grads is None:
+            return
+        from vision_spectra_tpu.spectral.gradient_alignment import (
+            aggregate_alignment,
+            compute_model_alignment,
+        )
+
+        per_layer = compute_model_alignment(self.state.params, grads)
+        agg = aggregate_alignment(per_layer)
+        tracking.log_metrics(
+            {f"alignment/{k}": v for k, v in agg.items()}, step=epoch
+        )
 
     def _save_epoch_spectral_artifacts(self, epoch: int) -> None:
         """Per-epoch JSON + per-layer plots (reference: base.py:453-567)."""

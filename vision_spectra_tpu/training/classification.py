@@ -162,6 +162,40 @@ class ClassificationTrainer(BaseTrainer):
             "auroc": auroc,
         }
 
+    def _alignment_grads(self):
+        """Training-loss gradients on one batch (no update) for the opt-in
+        gradient-alignment instrument (see BaseTrainer._log_gradient_alignment).
+        """
+        batch = next(iter(self.train_loader), None)
+        if batch is None:
+            return None
+        if not hasattr(self, "_align_grad_fn"):
+            model = self.model
+            loss_fn = self.loss_fn
+            augment = self._train_augment_fn()
+
+            @jax.jit
+            def grad_fn(params, images_u8, labels, key):
+                k_aug, k_drop, k_mask = jax.random.split(key, 3)
+                images = augment(images_u8, k_aug)
+
+                def loss(p):
+                    logits = model.apply(
+                        {"params": p},
+                        images,
+                        deterministic=False,
+                        rngs={"dropout": k_drop, "mask": k_mask},
+                    )
+                    return loss_fn(logits, labels)
+
+                return jax.grad(loss)(params)
+
+            self._align_grad_fn = grad_fn
+        images, labels = self.put_batch(batch.images, batch.labels)
+        return self._align_grad_fn(
+            self.state.params, images, labels, self.step_key(self.global_step)
+        )
+
     def _save_examples(self, epoch: int) -> None:
         """Prediction grids for the best epoch (reference: base.py:277-292)."""
         batch = next(iter(self.val_loader), None)
