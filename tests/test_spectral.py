@@ -291,6 +291,28 @@ class TestPaddedDynamicMetrics:
         after = _batched_spectra_dynamic._cache_size()
         assert after - before == 1  # one compile serves both true sizes
 
+    def test_high_water_target_reuse_across_model_sizes(self):
+        """After a large model's snapshot, a smaller model's snapshot reuses
+        the already-compiled padded SVD program (no new compile)."""
+        from vision_spectra_tpu.spectral import get_spectral_metrics
+        from vision_spectra_tpu.spectral.metrics import (
+            _batched_spectra_dynamic,
+            batched_spectral_metrics_padded,
+        )
+
+        rng = np.random.RandomState(3)
+        large = [rng.randn(192, 768).astype(np.float32) for _ in range(9)]
+        batched_spectral_metrics_padded(large)
+        before = _batched_spectra_dynamic._cache_size()
+        small = [rng.randn(32, 128).astype(np.float32) for _ in range(3)]
+        svs, metrics = batched_spectral_metrics_padded(small)
+        assert _batched_spectra_dynamic._cache_size() == before
+        # Numerics are unchanged by the oversized padding.
+        host = get_spectral_metrics(small[0])
+        assert len(svs[0]) == 32
+        for key, hv in host.items():
+            assert metrics[0][key] == pytest.approx(hv, rel=5e-3, abs=1e-4)
+
     def test_bucket_ladder(self):
         from vision_spectra_tpu.spectral import bucket_dim
 

@@ -443,6 +443,26 @@ def _pad_stack(mats: tuple, target: tuple, batch: int):
     return stack
 
 
+# Padded-target high-water marks seen this process. A later snapshot whose
+# matrices fit inside an earlier (batch, tm, tn) triple reuses that triple —
+# and therefore the already-compiled SVD program — instead of compiling a
+# fresh one per model size (e.g. the A/D/E sweep over 192d/96d/32d models
+# compiles one SVD for the 192d model and reuses it for the rest).
+_SEEN_TARGETS: list[tuple[int, int, int]] = []
+
+
+def _covering_target(batch: int, tm: int, tn: int) -> tuple[int, int, int]:
+    covering = [
+        t
+        for t in _SEEN_TARGETS
+        if t[0] >= batch and t[1] >= tm and t[2] >= tn
+    ]
+    if covering:
+        return min(covering, key=lambda t: t[0] * t[1] * t[2])
+    _SEEN_TARGETS.append((batch, tm, tn))
+    return (batch, tm, tn)
+
+
 def batched_spectral_metrics_padded(
     weights_and_shapes: list,
 ) -> tuple[list[np.ndarray], list[dict[str, float]]]:
@@ -461,7 +481,7 @@ def batched_spectral_metrics_padded(
     dims = [(min(m.shape), max(m.shape)) for m in mats]
     tm = bucket_dim(max(d[0] for d in dims))
     tn = max(bucket_dim(max(d[1] for d in dims)), tm)
-    batch = _pow2_ceil(len(mats))
+    batch, tm, tn = _covering_target(_pow2_ceil(len(mats)), tm, tn)
     stack = _pad_stack(tuple(jnp.asarray(m) for m in mats), (tm, tn), batch)
     n_true = jnp.asarray(
         [d[0] for d in dims] + [0] * (batch - len(mats)), jnp.int32

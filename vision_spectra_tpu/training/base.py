@@ -186,8 +186,9 @@ class BaseTrainer:
     def _train_augment_fn(self):
         """The (images_u8, key) -> images train augmentation for this run.
 
-        ``dataset.aug_mode`` selects the single-resample fused warp (default)
-        or the torchvision-faithful two-pass variant (see data/transforms.py).
+        ``dataset.aug_mode`` selects the torchvision-faithful two-pass
+        variant (default, adopted after the 10-seed accuracy A/B) or the
+        single-resample fused warp (see data/transforms.py).
         """
         from vision_spectra_tpu.data.transforms import make_augment_fn
 
