@@ -51,7 +51,7 @@ def main() -> None:
     n_devices = len(jax.devices())
     print(f"bench platform={platform} devices={n_devices}", file=sys.stderr)
 
-    batch_size = 1024
+    batch_size = 2048
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
 
     cfg = ExperimentConfig(
@@ -147,7 +147,7 @@ def main() -> None:
     labels_dev = jnp.asarray(rng.randint(0, 9, size=n_fused).astype(np.int32))
     epoch_fn = make_fused_epoch_fn(
         model, loss_fn, tx, batch_size=batch_size, num_channels=3
-    )
+    )  # aug_mode=fused (single bilinear warp; Pallas kernel on TPU)
     # Fresh params: the streaming loop donated (deleted) the originals.
     params2 = model.init(jax.random.key(0), sample)["params"]
     state2 = TrainState.create(params2, tx)
@@ -177,6 +177,36 @@ def main() -> None:
         file=sys.stderr,
     )
     per_chip = max(per_chip, per_chip_streaming)
+
+    # Same fused epoch under the DEFAULT augmentation recipe (aug_mode=
+    # torchvision: composed nearest warps + shuffled jitter, Pallas on TPU).
+    from vision_spectra_tpu.data.transforms import train_augment_ref
+
+    epoch_ref = make_fused_epoch_fn(
+        model, loss_fn, tx, batch_size=batch_size, num_channels=3,
+        augment_fn=functools.partial(train_augment_ref, num_channels=3),
+    )
+    params3 = model.init(jax.random.key(0), sample)["params"]
+    state3 = TrainState.create(params3, tx)
+    state3, acc = epoch_ref(
+        state3, images_dev, labels_dev, jax.random.key(0), lr
+    )
+    np.asarray(acc)
+    t0 = time.perf_counter()
+    for e in range(n_epochs):
+        state3, acc = epoch_ref(
+            state3, images_dev, labels_dev, jax.random.key(e + 1), lr
+        )
+    np.asarray(acc)
+    dt = time.perf_counter() - t0
+    ref_per_chip = n_epochs * (n_fused // batch_size) * batch_size / dt / max(
+        1, n_devices
+    )
+    print(
+        f"train-cls (fused epoch, default torchvision aug): "
+        f"{ref_per_chip:,.0f} img/s/chip",
+        file=sys.stderr,
+    )
 
     # Secondary: fused epochs for the OTHER regimes (MIM / multitask /
     # finetune) — one lax.scan program each, like classification.

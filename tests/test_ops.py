@@ -145,3 +145,114 @@ class TestFlashBackward:
                 dropout_rng=jax.random.key(0), use_flash=True,
             )
             assert not spy.called
+
+
+class TestAugWarpKernel:
+    """Pallas fused augmentation kernel vs the XLA transform paths.
+
+    Interpret mode on CPU; compiled-mode numbers come from bench.py on TPU.
+    """
+
+    def _batch(self, b=6, h=28, w=28, c=3, seed=0):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray(
+            rng.randint(0, 256, size=(b, h, w, c), dtype=np.uint8)
+        )
+
+    def test_composed_nearest_equals_two_pass(self):
+        """One composed warp == the literal two-resample torchvision recipe,
+        bit-for-bit (the intermediate is only sampled at integer coords)."""
+        from vision_spectra_tpu.data.transforms import (
+            _train_augment_ref_twopass,
+            train_augment_ref,
+        )
+
+        imgs = self._batch(b=8, seed=1)
+        key = jax.random.key(42)
+        composed = train_augment_ref(imgs, key, num_channels=3)
+        twopass = _train_augment_ref_twopass(imgs, key, num_channels=3)
+        np.testing.assert_allclose(
+            np.asarray(composed), np.asarray(twopass), rtol=0, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_kernel_nearest_matches_xla(self, c):
+        """Kernel (torchvision mode) == XLA composed path, same params."""
+        from vision_spectra_tpu.data.transforms import (
+            _color_jitter_shuffled,
+            _jitter_params,
+            _nearest_sample_from_coords,
+            _ref_warp_mats,
+            _stats,
+            composed_nearest_coords,
+        )
+        from vision_spectra_tpu.ops.aug_warp import warp_augment
+
+        imgs = self._batch(b=4, c=c, seed=2)
+        b, h, w, _ = imgs.shape
+        key = jax.random.key(7)
+        rot, aff, k_color = _ref_warp_mats(key, b, h, w)
+        factors, opcodes = _jitter_params(k_color, b, c)
+        mean, std = _stats(c)
+
+        out_k = warp_augment(
+            imgs, rot, aff, factors, opcodes, mean, std,
+            num_channels=c, bilinear=False, interpret=True,
+        )
+
+        x = imgs.astype(jnp.float32) / 255.0
+        sx, sy, valid = composed_nearest_coords(rot, aff, h, w)
+        x = _nearest_sample_from_coords(x, sx, sy, valid)
+        x = _color_jitter_shuffled(k_color, x, c)
+        out_x = (x - mean) / std
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_x), rtol=0, atol=2e-2
+        )
+
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_kernel_bilinear_matches_xla(self, c):
+        """Kernel (fused bilinear mode) == XLA fused path, same params."""
+        from vision_spectra_tpu.data.transforms import (
+            _affine_grid_sample,
+            _color_jitter,
+            _jitter_factors,
+            _random_affine_inverse,
+            _stats,
+        )
+        from vision_spectra_tpu.ops.aug_warp import warp_augment
+
+        imgs = self._batch(b=4, c=c, seed=3)
+        b, h, w, _ = imgs.shape
+        k_affine, k_color = jax.random.split(jax.random.key(11))
+        inv = _random_affine_inverse(k_affine, b, h, w)
+        fb, fc, fs = _jitter_factors(k_color, b)
+        mean, std = _stats(c)
+
+        out_k = warp_augment(
+            imgs, inv, None, jnp.stack([fb, fc, fs], axis=1), None,
+            mean, std, num_channels=c, bilinear=True, interpret=True,
+        )
+
+        x = imgs.astype(jnp.float32) / 255.0
+        x = _affine_grid_sample(x, inv)
+        x = _color_jitter(k_color, x, c)
+        out_x = (x - mean) / std
+        # The kernel keeps the second contraction in f32 (the XLA path casts
+        # it to bf16), so tiny per-pixel differences are expected.
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_x), rtol=0, atol=5e-2
+        )
+
+    def test_dispatch_is_cpu_safe(self):
+        """On CPU the public entry points take the XLA path and still work."""
+        from vision_spectra_tpu.data.transforms import (
+            train_augment,
+            train_augment_ref,
+        )
+
+        imgs = self._batch(b=4)
+        out1 = train_augment(imgs, jax.random.key(0), num_channels=3)
+        out2 = train_augment_ref(imgs, jax.random.key(0), num_channels=3)
+        assert out1.shape == imgs.shape and out2.shape == imgs.shape
+        assert np.isfinite(np.asarray(out1)).all()
+        assert np.isfinite(np.asarray(out2)).all()

@@ -234,6 +234,15 @@ def _random_affine_inverse(key: jax.Array, batch: int, h: int, w: int) -> jnp.nd
     )
 
 
+def _jitter_factors(key: jax.Array, b: int) -> tuple[jnp.ndarray, ...]:
+    """Per-sample (brightness, contrast, saturation) factors, each [B]."""
+    k_b, k_c, k_s = jax.random.split(key, 3)
+    fb = jax.random.uniform(k_b, (b,), minval=1 - BRIGHTNESS, maxval=1 + BRIGHTNESS)
+    fc = jax.random.uniform(k_c, (b,), minval=1 - CONTRAST, maxval=1 + CONTRAST)
+    fs = jax.random.uniform(k_s, (b,), minval=1 - SATURATION, maxval=1 + SATURATION)
+    return fb, fc, fs
+
+
 def _color_jitter(key: jax.Array, x: jnp.ndarray, num_channels: int) -> jnp.ndarray:
     """Brightness/contrast(/saturation) jitter on [0,1] floats.
 
@@ -272,6 +281,18 @@ _JITTER_PERMS = np.array(
 )
 
 
+def _jitter_params(
+    key: jax.Array, b: int, num_channels: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shuffled-jitter params: factors [B, 3] and per-stage opcodes [B, 3]."""
+    k_b, k_c, k_s, k_p = jax.random.split(key, 4)
+    fb = jax.random.uniform(k_b, (b,), minval=1 - BRIGHTNESS, maxval=1 + BRIGHTNESS)
+    fc = jax.random.uniform(k_c, (b,), minval=1 - CONTRAST, maxval=1 + CONTRAST)
+    fs = jax.random.uniform(k_s, (b,), minval=1 - SATURATION, maxval=1 + SATURATION)
+    perm = jnp.asarray(_JITTER_PERMS)[jax.random.randint(k_p, (b,), 0, 6)]
+    return jnp.stack([fb, fc, fs], axis=1), perm
+
+
 def _color_jitter_shuffled(
     key: jax.Array, x: jnp.ndarray, num_channels: int
 ) -> jnp.ndarray:
@@ -284,11 +305,10 @@ def _color_jitter_shuffled(
     saturation blends with the per-pixel grayscale; clamp after each op.
     """
     b = x.shape[0]
-    k_b, k_c, k_s, k_p = jax.random.split(key, 4)
-    fb = jax.random.uniform(k_b, (b, 1, 1, 1), minval=1 - BRIGHTNESS, maxval=1 + BRIGHTNESS)
-    fc = jax.random.uniform(k_c, (b, 1, 1, 1), minval=1 - CONTRAST, maxval=1 + CONTRAST)
-    fs = jax.random.uniform(k_s, (b, 1, 1, 1), minval=1 - SATURATION, maxval=1 + SATURATION)
-    perm = jnp.asarray(_JITTER_PERMS)[jax.random.randint(k_p, (b,), 0, 6)]  # [B,3]
+    factors, perm = _jitter_params(key, b, num_channels)
+    fb = factors[:, 0].reshape(b, 1, 1, 1)
+    fc = factors[:, 1].reshape(b, 1, 1, 1)
+    fs = factors[:, 2].reshape(b, 1, 1, 1)
 
     def brightness(x):
         return jnp.clip(x * fb, 0.0, 1.0)
@@ -315,38 +335,18 @@ def _color_jitter_shuffled(
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("num_channels",))
-def train_augment_ref(
-    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
-) -> jnp.ndarray:
-    """Reference-faithful train augmentation (torchvision two-pass semantics).
+def _ref_warp_mats(key: jax.Array, b: int, h: int, w: int):
+    """Per-sample (rot, aff) inverse 2x3 matrices for the torchvision recipe.
 
-    Matches /root/reference/vision_spectra/data/transforms.py:10-55 op for op:
-
-    - RandomHorizontalFlip(0.5) — exact mirror, folded into the first warp
-      (mirrors map pixel centers to pixel centers, so composing it with a
-      nearest-neighbor warp is exact),
-    - RandomRotation(±15°) with **nearest-neighbor** resampling (the
-      torchvision default), zero fill,
-    - RandomAffine(translate ±10% **rounded to integer pixels**, scale
-      0.9–1.1) as a **second** nearest-neighbor resample (torchvision
-      resamples twice; with nearest interpolation the intermediate uint8
-      quantization is exact, so no precision is lost here),
-    - ColorJitter with per-sample random op order,
-    - normalize.
-
-    The default :func:`train_augment` composes everything into one bilinear
-    warp — faster and smoother; this variant exists for accuracy-parity A/B
-    against the reference recipe (``DatasetConfig.aug_mode="torchvision"``).
+    Sampling order/distributions are frozen (they define the adopted
+    torchvision-faithful recipe): flip folded into the rotation matrix,
+    rotation ±15° about center, then a second affine with integer-pixel
+    translation ±10% and scale 0.9–1.1 about center.
     """
-    b, h, w, _ = images.shape
     k_flip, k_rot, k_affine, k_color = jax.random.split(key, 4)
-    x = images.astype(jnp.float32) / 255.0
-
     cx = (w - 1) / 2.0
     cy = (h - 1) / 2.0
 
-    # Pass 1: flip + rotation about center (inverse map, nearest sampling).
     flip = jax.random.bernoulli(k_flip, 0.5, (b,))
     theta = jax.random.uniform(
         k_rot, (b,), minval=-ROTATION_DEGREES, maxval=ROTATION_DEGREES
@@ -365,9 +365,7 @@ def train_augment_ref(
         ],
         axis=1,
     )
-    x = _nearest_grid_sample_matmul(x, rot)
 
-    # Pass 2: integer translate + scale about center (no rotation).
     k_tx, k_ty, k_scale = jax.random.split(k_affine, 3)
     tx = jnp.round(
         jax.random.uniform(k_tx, (b,), minval=-TRANSLATE_FRAC, maxval=TRANSLATE_FRAC) * w
@@ -379,19 +377,129 @@ def train_augment_ref(
         k_scale, (b,), minval=SCALE_RANGE[0], maxval=SCALE_RANGE[1]
     )
     inv_s = 1.0 / scale
-    a00 = inv_s
     at0 = inv_s * (-cx - tx) + cx
     at1 = inv_s * (-cy - ty) + cy
-    zeros = jnp.zeros_like(a00)
+    zeros = jnp.zeros_like(inv_s)
     aff = jnp.stack(
         [
-            jnp.stack([a00, zeros, at0], axis=-1),
-            jnp.stack([zeros, a00, at1], axis=-1),
+            jnp.stack([inv_s, zeros, at0], axis=-1),
+            jnp.stack([zeros, inv_s, at1], axis=-1),
         ],
         axis=1,
     )
-    x = _nearest_grid_sample_matmul(x, aff)
+    return rot, aff, k_color
 
+
+def composed_nearest_coords(
+    rot: jnp.ndarray, aff: jnp.ndarray, h: int, w: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Source coords for two composed nearest-neighbor warps, in ONE pass.
+
+    Two nearest warps compose exactly: ``out[p] = I1[round(aff·p)]`` with
+    ``I1[q] = I[round(rot·q)]`` gives ``out[p] = I[round(rot·round(aff·p))]``
+    — the intermediate image is only ever sampled at integer coordinates, so
+    skipping its materialization loses nothing. Out-of-range intermediate
+    coordinates (where pass 1's output is zero fill) are masked via
+    ``valid``. Returns (sx, sy, valid), each [B, H, W].
+    """
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ones = jnp.ones_like(xs)
+    coords = jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()]).astype(jnp.float32)
+    src2 = jnp.einsum("bij,jk->bik", aff, coords)  # [B, 2, H*W]
+    qx = jnp.floor(src2[:, 0] + 0.5)
+    qy = jnp.floor(src2[:, 1] + 0.5)
+    valid = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+    sx = rot[:, 0, 0:1] * qx + rot[:, 0, 1:2] * qy + rot[:, 0, 2:3]
+    sy = rot[:, 1, 0:1] * qx + rot[:, 1, 1:2] * qy + rot[:, 1, 2:3]
+    return (
+        sx.reshape(-1, h, w),
+        sy.reshape(-1, h, w),
+        valid.reshape(-1, h, w),
+    )
+
+
+def _nearest_sample_from_coords(
+    images: jnp.ndarray,
+    sx: jnp.ndarray,
+    sy: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Nearest-neighbor sample at per-pixel source coords (matmul form)."""
+    b, h, w, c = images.shape
+    row_idx = jnp.arange(h, dtype=jnp.float32)
+    col_idx = jnp.arange(w, dtype=jnp.float32)
+    ry = jnp.floor(sy + 0.5)[..., None]
+    rx = jnp.floor(sx + 0.5)[..., None]
+    wy = ((row_idx == ry) & valid[..., None]).astype(jnp.bfloat16)
+    wx = (col_idx == rx).astype(jnp.bfloat16)
+    imgs = images.astype(jnp.bfloat16)
+    tmp = jnp.einsum(
+        "byxs,bstc->byxtc", wy, imgs, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "byxt,byxtc->byxc", wx, tmp.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_channels",))
+def train_augment_ref(
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
+) -> jnp.ndarray:
+    """Reference-faithful train augmentation (torchvision two-pass semantics).
+
+    Matches /root/reference/vision_spectra/data/transforms.py:10-55 op for op:
+
+    - RandomHorizontalFlip(0.5) — exact mirror, folded into the first warp
+      (mirrors map pixel centers to pixel centers, so composing it with a
+      nearest-neighbor warp is exact),
+    - RandomRotation(±15°) with **nearest-neighbor** resampling (the
+      torchvision default), zero fill,
+    - RandomAffine(translate ±10% **rounded to integer pixels**, scale
+      0.9–1.1) as a second nearest-neighbor warp — torchvision resamples
+      twice, but two nearest warps compose exactly (the intermediate is only
+      sampled at integer coordinates), so this runs as ONE resample via
+      :func:`composed_nearest_coords` — bit-identical output at half the cost,
+    - ColorJitter with per-sample random op order,
+    - normalize.
+
+    The default :func:`train_augment` composes everything into one bilinear
+    warp — smoother; this variant is the adopted default recipe
+    (``DatasetConfig.aug_mode="torchvision"``) after the 10-seed accuracy A/B.
+    On TPU the whole pipeline runs as a single Pallas kernel
+    (ops/aug_warp.py) that keeps every intermediate in VMEM.
+    """
+    b, h, w, _ = images.shape
+    rot, aff, k_color = _ref_warp_mats(key, b, h, w)
+
+    from vision_spectra_tpu.ops.aug_warp import use_pallas_warp, warp_augment
+
+    if use_pallas_warp(images.shape):
+        factors, opcodes = _jitter_params(k_color, b, num_channels)
+        mean, std = _stats(num_channels)
+        return warp_augment(
+            images, rot, aff, factors, opcodes, mean, std,
+            num_channels=num_channels, bilinear=False,
+        )
+
+    x = images.astype(jnp.float32) / 255.0
+    sx, sy, valid = composed_nearest_coords(rot, aff, h, w)
+    x = _nearest_sample_from_coords(x, sx, sy, valid)
+    x = _color_jitter_shuffled(k_color, x, num_channels)
+    mean, std = _stats(num_channels)
+    return (x - mean) / std
+
+
+def _train_augment_ref_twopass(
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
+) -> jnp.ndarray:
+    """Literal two-resample variant (parity oracle for the composed path)."""
+    b, h, w, _ = images.shape
+    rot, aff, k_color = _ref_warp_mats(key, b, h, w)
+    x = images.astype(jnp.float32) / 255.0
+    x = _nearest_grid_sample_matmul(x, rot)
+    x = _nearest_grid_sample_matmul(x, aff)
     x = _color_jitter_shuffled(k_color, x, num_channels)
     mean, std = _stats(num_channels)
     return (x - mean) / std
@@ -401,11 +509,27 @@ def train_augment_ref(
 def train_augment(
     images: jnp.ndarray, key: jax.Array, num_channels: int = 3
 ) -> jnp.ndarray:
-    """Full train-time augmentation: warp + color jitter + normalize."""
+    """Full train-time augmentation: warp + color jitter + normalize.
+
+    On TPU the whole pipeline (bilinear warp + fixed-order jitter +
+    normalize) runs as one Pallas kernel (ops/aug_warp.py); elsewhere as the
+    XLA matmul-warp formulation. Both consume the same sampled parameters.
+    """
     b, h, w, _ = images.shape
     k_affine, k_color = jax.random.split(key)
-    x = images.astype(jnp.float32) / 255.0
     inv = _random_affine_inverse(k_affine, b, h, w)
+
+    from vision_spectra_tpu.ops.aug_warp import use_pallas_warp, warp_augment
+
+    if use_pallas_warp(images.shape):
+        fb, fc, fs = _jitter_factors(k_color, b)
+        mean, std = _stats(num_channels)
+        return warp_augment(
+            images, inv, None, jnp.stack([fb, fc, fs], axis=1), None,
+            mean, std, num_channels=num_channels, bilinear=True,
+        )
+
+    x = images.astype(jnp.float32) / 255.0
     x = _affine_grid_sample(x, inv)
     x = _color_jitter(k_color, x, num_channels)
     mean, std = _stats(num_channels)

@@ -1,0 +1,232 @@
+"""Fused augmentation warp as a single Pallas TPU kernel.
+
+The XLA matmul formulation of the augmentation warp (data/transforms.py)
+materializes [B, H, W, H]-shaped interpolation-weight tensors and a
+[B, H, W, W, C] intermediate in HBM — at 28 px that traffic (with lane
+padding, the minor dims are 28 → padded to 128) makes augmentation ~50% of
+the fused train-step time. This kernel keeps everything per-image in VMEM:
+
+- grid over the batch, one image per program (Mosaic double-buffers the
+  image DMA across grid steps);
+- the warp is two contractions against hat-function (bilinear) or indicator
+  (nearest) weight matrices built in VMEM from the per-image affine params —
+  mathematically identical to the XLA path, lane dim = H·W (784 at 28 px);
+- the torchvision two-resample recipe runs as ONE warp: two nearest warps
+  compose exactly (``out[p] = I[round(A1·round(A2·p))]`` — the intermediate
+  is only sampled at integer coords), with an explicit bounds mask where the
+  intermediate would have been zero fill;
+- ColorJitter (fixed order, or per-sample shuffled order via opcodes) and
+  normalization run on the [C, H·W] result before a single output write.
+
+No backward pass exists or is needed: augmentation sits between the uint8
+batch and the model input, outside the differentiated parameter path.
+
+Reference behavior: vision_spectra/data/transforms.py:10-55 (the torchvision
+pipeline this reproduces). Numerics match the XLA path bit-for-bit in
+nearest mode under the interpreter and to ~1e-2 absolute (bf16 contraction,
+same as XLA path) in bilinear mode; both are asserted in tests/test_ops.py.
+In compiled mode FMA contraction can flip floor(x+0.5) rounding ties on
+~1e-5 of pixels (a one-pixel source shift on those pixels) — measured
+max-one-pixel disagreement on 64x2352-px batches, immaterial for a random
+augmentation.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["warp_augment", "use_pallas_warp"]
+
+
+def use_pallas_warp(shape: tuple[int, ...]) -> bool:
+    """Whether the Pallas augmentation kernel should serve this batch."""
+    if os.environ.get("VST_NO_PALLAS_WARP"):
+        return False
+    b, h, w, c = shape
+    # VMEM budget: weight matrices are [H, H*W] and [W, H*W] f32; 64 px
+    # (4096-lane) images use ~2 MB — beyond that the XLA gather path wins.
+    return (
+        jax.default_backend() == "tpu"
+        and c in (1, 3)
+        and 8 <= h <= 64
+        and 8 <= w <= 64
+    )
+
+
+def _grayscale(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """[C, HW] -> [1, HW] luminance (identity for grayscale)."""
+    if c == 3:
+        return 0.299 * x[0:1] + 0.587 * x[1:2] + 0.114 * x[2:3]
+    return x
+
+
+def _jitter_fixed(x, fb, fc, fs, c):
+    """data/transforms._color_jitter semantics: fixed order, gray reused."""
+    x = jnp.clip(x * fb, 0.0, 1.0)
+    gray = _grayscale(x, c)
+    mean_gray = jnp.mean(gray, keepdims=True)
+    x = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
+    if c == 3:
+        x = jnp.clip((x - gray) * fs + gray, 0.0, 1.0)
+    return x
+
+
+def _jitter_shuffled(x, fb, fc, fs, o0, o1, o2, c):
+    """data/transforms._color_jitter_shuffled semantics: per-stage opcode."""
+    for op in (o0, o1, o2):
+        xb = jnp.clip(x * fb, 0.0, 1.0)
+        gray = _grayscale(x, c)
+        mean_gray = jnp.mean(gray, keepdims=True)
+        xc = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
+        xs = jnp.clip((x - gray) * fs + gray, 0.0, 1.0) if c == 3 else x
+        x = jnp.where(op == 0.0, xb, jnp.where(op == 1.0, xc, xs))
+    return x
+
+
+def _make_kernel(h: int, w: int, c: int, bilinear: bool,
+                 mean: tuple[float, ...], std: tuple[float, ...]):
+    hw = h * w
+    # Python-float constants (Pallas kernels cannot capture array constants);
+    # normalization happens row-by-row below.
+    inv_std = tuple(1.0 / float(s) for s in std)
+    mean_f = tuple(float(m) for m in mean)
+
+    def kernel(params_ref, img_ref, out_ref):
+        def p(j):  # SMEM allows scalar loads only
+            return params_ref[0, 0, j]
+        # Output-pixel coordinates, lane dim = H*W.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
+        xo = (idx % w).astype(jnp.float32)
+        yo = (idx // w).astype(jnp.float32)
+
+        if bilinear:
+            # Single bilinear warp: params 0-5 = inverse affine.
+            sx = p(0) * xo + p(1) * yo + p(2)
+            sy = p(3) * xo + p(4) * yo + p(5)
+            srows = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 0).astype(jnp.float32)
+            tcols = jax.lax.broadcasted_iota(jnp.int32, (w, hw), 0).astype(jnp.float32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - srows))  # [H, HW]
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - tcols))  # [W, HW]
+        else:
+            # Composed nearest warps: 0-5 = rot (pass 1), 6-11 = aff (pass 2).
+            sx2 = p(6) * xo + p(7) * yo + p(8)
+            sy2 = p(9) * xo + p(10) * yo + p(11)
+            qx = jnp.floor(sx2 + 0.5)
+            qy = jnp.floor(sy2 + 0.5)
+            valid = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+            rx = jnp.floor(p(0) * qx + p(1) * qy + p(2) + 0.5)
+            ry = jnp.floor(p(3) * qx + p(4) * qy + p(5) + 0.5)
+            srows = jax.lax.broadcasted_iota(jnp.int32, (h, hw), 0).astype(jnp.float32)
+            tcols = jax.lax.broadcasted_iota(jnp.int32, (w, hw), 0).astype(jnp.float32)
+            wy = ((srows == ry) & valid).astype(jnp.float32)  # [H, HW]
+            wx = (tcols == rx).astype(jnp.float32)  # [W, HW]
+
+        # Warp as two contractions (image and weights stay in VMEM).
+        # uint8 -> int32 -> f32 -> bf16 (Mosaic lacks direct uint8->float
+        # casts; the int32 hop is exact for 8-bit data).
+        img = (
+            img_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+        ).astype(jnp.bfloat16)
+        # tmp[t*C+c, yx] = sum_s img[s, t*C+c] * wy[s, yx]
+        tmp = jax.lax.dot_general(
+            img, wy.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [W*C, HW]
+        x = jnp.sum(tmp.reshape(w, c, hw) * wx[:, None, :], axis=0)  # [C, HW]
+
+        if bilinear:
+            x = _jitter_fixed(x, p(12), p(13), p(14), c)
+        else:
+            x = _jitter_shuffled(
+                x, p(12), p(13), p(14),
+                p(15), p(16), p(17), c,
+            )
+        out_ref[0] = jnp.concatenate(
+            [(x[i : i + 1] - mean_f[i]) * inv_std[i] for i in range(c)],
+            axis=0,
+        )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(b: int, h: int, w: int, c: int, bilinear: bool,
+                mean: tuple[float, ...], std: tuple[float, ...],
+                interpret: bool):
+    kernel = _make_kernel(h, w, c, bilinear, mean, std)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            # Last two block dims must equal the array dims for the TPU
+            # lowering, hence the singleton axis on the params array.
+            pl.BlockSpec((1, 1, 20), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, h * w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, h * w), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def warp_augment(
+    images: jnp.ndarray,
+    mat1: jnp.ndarray,
+    mat2: jnp.ndarray | None,
+    factors: jnp.ndarray,
+    opcodes: jnp.ndarray | None,
+    mean: np.ndarray,
+    std: np.ndarray,
+    *,
+    num_channels: int,
+    bilinear: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Warp + jitter + normalize a uint8 batch in one Pallas dispatch.
+
+    Args:
+        images: uint8 [B, H, W, C].
+        mat1: inverse 2x3 affines [B, 2, 3] — the single bilinear warp, or
+            pass 1 (rotation/flip) of the composed nearest recipe.
+        mat2: pass-2 (translate/scale) affines for the nearest recipe; None
+            in bilinear mode.
+        factors: jitter factors [B, 3] (brightness, contrast, saturation).
+        opcodes: per-stage jitter opcodes [B, 3] (shuffled order); None in
+            bilinear mode (fixed order).
+        mean / std: per-channel normalization constants, shape [C].
+
+    Returns float32 [B, H, W, C].
+    """
+    bsz, h, w, cc = images.shape
+    zeros6 = jnp.zeros((bsz, 6), jnp.float32)
+    params = jnp.concatenate(
+        [
+            mat1.reshape(bsz, 6).astype(jnp.float32),
+            mat2.reshape(bsz, 6).astype(jnp.float32)
+            if mat2 is not None else zeros6,
+            factors.astype(jnp.float32),
+            opcodes.astype(jnp.float32)
+            if opcodes is not None else zeros6[:, :3],
+            jnp.zeros((bsz, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    call = _build_call(
+        bsz, h, w, cc, bilinear,
+        tuple(float(v) for v in np.asarray(mean).ravel()),
+        tuple(float(v) for v in np.asarray(std).ravel()),
+        interpret,
+    )
+    out = call(params.reshape(bsz, 1, 20), images.reshape(bsz, h, w * cc))
+    return out.transpose(0, 2, 1).reshape(bsz, h, w, cc)
