@@ -256,3 +256,94 @@ class TestAugWarpKernel:
         assert out1.shape == imgs.shape and out2.shape == imgs.shape
         assert np.isfinite(np.asarray(out1)).all()
         assert np.isfinite(np.asarray(out2)).all()
+
+
+class TestFusedBlock:
+    """Whole-block Pallas kernel (ops/block_fused.py) vs the XLA block path.
+
+    Interpret mode on CPU (use_fused_blocks=True forces the kernel);
+    compiled-mode parity on real TPU is asserted by the bench/perf scripts
+    (measured: fwd 1.5%, grads 1.2% relative at B=2048, bf16).
+    """
+
+    def _models(self, **kw):
+        from vision_spectra_tpu.models import build_vit
+
+        m_x, _ = build_vit(dtype=jnp.bfloat16, use_fused_blocks=False,
+                           num_classes=5, **kw)
+        m_f, _ = build_vit(dtype=jnp.bfloat16, use_fused_blocks=True,
+                           num_classes=5, **kw)
+        return m_x, m_f
+
+    def _data(self, b=128, seed=0):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray(rng.randn(b, 28, 28, 3).astype(np.float32))
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},  # ViT-Tiny 192d/12L/3H
+            {"embed_dim": 96, "depth": 3},  # scenario C/D geometry
+            {"embed_dim": 32, "depth": 1},  # scenario E/F geometry
+        ],
+    )
+    def test_forward_parity(self, kw):
+        m_x, m_f = self._models(**kw)
+        x = self._data()
+        params = m_x.init(jax.random.key(0), x[:2])["params"]
+        a = np.asarray(m_x.apply({"params": params}, x, deterministic=True))
+        b = np.asarray(m_f.apply({"params": params}, x, deterministic=True))
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() < 0.05 * max(scale, 1.0)
+
+    def test_grad_parity(self):
+        m_x, m_f = self._models()
+        x = self._data()
+        params = m_x.init(jax.random.key(0), x[:2])["params"]
+
+        def mk(m):
+            return jax.grad(
+                lambda p: jnp.mean(
+                    m.apply({"params": p}, x, deterministic=True) ** 2
+                )
+            )
+
+        gx = mk(m_x)(params)
+        gf = mk(m_f)(params)
+        for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            assert np.abs(a - b).max() <= 0.05 * (np.abs(a).max() + 1e-6)
+
+    def test_droppath_training_mode(self):
+        """Stochastic-depth masks thread through the kernel; loss is finite
+        and differs across dropout keys (masks actually applied)."""
+        _, m_f = self._models()
+        x = self._data()
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+
+        def run(key):
+            return m_f.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": key},
+            )
+
+        o1 = np.asarray(run(jax.random.key(1)))
+        o2 = np.asarray(run(jax.random.key(2)))
+        assert np.isfinite(o1).all() and np.isfinite(o2).all()
+        assert np.abs(o1 - o2).max() > 1e-4
+
+    def test_gate_respects_geometry(self):
+        """Odd row counts / token counts fall back to the XLA path."""
+        from vision_spectra_tpu.ops.block_fused import use_fused_block
+
+        assert not use_fused_block(rows=250, n_tokens=2)
+        assert not use_fused_block(rows=512, n_tokens=50)
+
+    def test_erf_matches_lax(self):
+        from vision_spectra_tpu.ops.block_fused import _erf
+
+        x = jnp.linspace(-4.0, 4.0, 301)
+        np.testing.assert_allclose(
+            np.asarray(_erf(x)), np.asarray(jax.lax.erf(x)), atol=1e-6
+        )

@@ -27,6 +27,7 @@ always float32.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 from typing import Any
@@ -268,6 +269,10 @@ class ViTClassifier(nn.Module):
     drop_path_rate: float = 0.1
     dtype: Any = jnp.float32
     use_flash: bool = False
+    # None = auto: fused block kernel on single-chip TPU when the geometry
+    # allows (N == 2 tokens, rows divisible by the kernel tile, no dropout).
+    # True forces it (interpret mode off-TPU, for tests); False disables.
+    use_fused_blocks: bool | None = None
 
     @property
     def num_patches(self) -> int:
@@ -332,9 +337,101 @@ class ViTClassifier(nn.Module):
 
     def encode(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """Token sequence → token sequence through all blocks + final norm."""
+        if self._fused_blocks_active(x):
+            return self.norm(self._encode_fused(x, deterministic))
         for blk in self.blocks:
             x = blk(x, deterministic=deterministic)
         return self.norm(x)
+
+    def _fused_blocks_active(self, x: jnp.ndarray) -> bool:
+        """Whether to run blocks through the fused Pallas kernel.
+
+        Auto mode (``use_fused_blocks=None``) enables it on single-chip TPU
+        only — the kernel is not GSPMD-partitionable, so multi-device meshes
+        keep the XLA path. Requires the pair-attention geometry (2 tokens)
+        and zero dropout (drop-path is handled via masks).
+        """
+        if self.use_fused_blocks is False or self.is_initializing():
+            return False
+        if self.use_fused_blocks is None and not (
+            jax.default_backend() == "tpu" and jax.device_count() == 1
+        ):
+            return False
+        from vision_spectra_tpu.ops.block_fused import TILE_ROWS
+
+        b, n, _ = x.shape
+        return (
+            n == 2
+            and (b * n) % TILE_ROWS == 0
+            and self.drop_rate == 0.0
+            and self.attn_drop_rate == 0.0
+            and not os.environ.get("VST_NO_FUSED_BLOCK")
+        )
+
+    def _encode_fused(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Blocks via the fused whole-block kernel (ops/block_fused.py).
+
+        Reads the already-materialized block params from ``self.variables``
+        (identical pytree to the XLA path — checkpoints, spectral extraction
+        and TP sharding rules are unaffected) and threads drop-path masks
+        explicitly.
+        """
+        from vision_spectra_tpu.ops.block_fused import fused_vit_block
+
+        interpret = jax.default_backend() != "tpu"
+        b, n, e = x.shape
+        rows = b * n
+        tree = self.variables["params"]
+        dp_rates = [
+            self.drop_path_rate * i / max(1, self.depth - 1)
+            for i in range(self.depth)
+        ]
+        need_rng = not deterministic and any(r > 0.0 for r in dp_rates)
+        rng = self.make_rng("dropout") if need_rng else None
+        ones = jnp.ones((rows, 1), jnp.float32)
+
+        def dp_mask(key, rate):
+            if deterministic or rate == 0.0:
+                return ones
+            keep = 1.0 - rate
+            m = jax.random.bernoulli(key, keep, (b, 1)).astype(jnp.float32)
+            m = m / keep
+            return jnp.broadcast_to(m[:, None, :], (b, n, 1)).reshape(rows, 1)
+
+        h = x.reshape(rows, e)
+        for i in range(self.depth):
+            blk = tree[f"blocks_{i}"]
+            wqkv = blk["attn"]["qkv"]["kernel"]
+            bqkv = blk["attn"]["qkv"]["bias"]
+            params = (
+                blk["norm1"]["scale"].reshape(1, e),
+                blk["norm1"]["bias"].reshape(1, e),
+                wqkv[:, :e], bqkv[:e].reshape(1, e),
+                wqkv[:, e:2 * e], bqkv[e:2 * e].reshape(1, e),
+                wqkv[:, 2 * e:], bqkv[2 * e:].reshape(1, e),
+                blk["attn"]["proj"]["kernel"],
+                blk["attn"]["proj"]["bias"].reshape(1, e),
+                blk["norm2"]["scale"].reshape(1, e),
+                blk["norm2"]["bias"].reshape(1, e),
+                blk["mlp"]["fc1"]["kernel"],
+                blk["mlp"]["fc1"]["bias"].reshape(1, -1),
+                blk["mlp"]["fc2"]["kernel"],
+                blk["mlp"]["fc2"]["bias"].reshape(1, e),
+            )
+            if rng is not None:
+                k1 = jax.random.fold_in(rng, 2 * i)
+                k2 = jax.random.fold_in(rng, 2 * i + 1)
+            else:
+                k1 = k2 = None
+            m1 = dp_mask(k1, dp_rates[i])
+            m2 = dp_mask(k2, dp_rates[i])
+            h = fused_vit_block(
+                h, params, m1, m2, num_heads=self.num_heads,
+                interpret=interpret,
+            )
+        return h.reshape(b, n, e)
 
     def forward_features(
         self, x: jnp.ndarray, deterministic: bool = True
@@ -387,6 +484,7 @@ def build_vit(
     num_heads: int | None = None,
     dtype: Any = jnp.float32,
     use_flash: bool = False,
+    use_fused_blocks: bool | None = None,
 ) -> tuple[ViTClassifier, ViTDescription]:
     """Construct a ViT with reference-compatible expressivity overrides.
 
@@ -416,6 +514,7 @@ def build_vit(
         drop_path_rate=drop_path_rate,
         dtype=dtype,
         use_flash=use_flash,
+        use_fused_blocks=use_fused_blocks,
     )
     desc = ViTDescription(
         model_name=model_name,

@@ -1,0 +1,441 @@
+"""Whole-transformer-block Pallas TPU kernel (forward + custom-VJP backward).
+
+Why: at this framework's flagship geometry (ViT-Tiny, 28 px / patch 16 → a
+2-token sequence of CLS + one patch) the XLA transformer block is
+fusion/bandwidth-bound, not MXU-bound: the matmul skeleton of all 12 blocks
+runs fwd+bwd in ~5.3 ms at batch 8192 (~99 TFLOPS) while the full XLA step
+takes ~17.4 ms — LayerNorms, GELU, residuals, and the tiny-N attention each
+round-trip [B·N, E] activations through HBM. This kernel runs ONE block —
+LN1 → QKV → pair attention → proj → +residual → LN2 → MLP(GELU) →
++residual — per row-tile entirely in VMEM. All eight weight matrices of a
+ViT-Tiny block (~0.9 MB bf16) stay resident across the row grid.
+
+Attention specialization: with exactly N=2 tokens per image, rows are laid
+out (image-major, token-minor) so each image's pair is adjacent. Attention
+becomes, per head, a 2-way softmax between a row and its partner row:
+
+    s_self[r]  = q[r]·k[r] / sqrt(d)
+    s_cross[r] = q[r]·k[partner(r)] / sqrt(d)
+    out[r] = softmax2(s)·(v[r], v[partner(r)])
+
+The per-head inner products are computed as elementwise products reduced
+within 64-lane head groups by a block-diagonal ones matrix G (one small f32
+MXU matmul), keeping every operand in the native [rows, E] lane layout — no
+head-split reshapes or transposes. ``partner`` is a ±1 row roll selected by
+row parity (pairs never straddle the even row tile).
+
+The backward pass recomputes the forward per tile (flash-style — the only
+residual is the block input) and accumulates weight gradients across the
+sequentially-executed row grid into revisited output blocks.
+
+General-N attention stays on the XLA path (models/vit.py); this kernel is
+selected only for N == 2, which covers every reference scenario (A–F all
+run 28 px / patch 16 — /root/reference/vision_spectra/experiments/
+run_spectral_analysis.py:244-289).
+
+Numerics match the XLA block to bf16 tolerance: LN statistics and softmax
+in f32 (flax LayerNorm semantics: fast variance, eps 1e-6, f32 stats),
+matmuls in bf16 with f32 accumulation, GELU exact (erf). The kernel keeps
+the intra-block residual in f32 and rounds once at the block boundary
+(the XLA path rounds after each residual add), a strictly tighter rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["fused_vit_block", "use_fused_block", "TILE_ROWS"]
+
+TILE_ROWS = 256
+_LN_EPS = 1e-6
+
+# params tuple layout (all f32; vectors pre-reshaped to [1, D]):
+#   0 ln1_scale [1,E]   1 ln1_bias [1,E]
+#   2 wq [E,E]   3 bq [1,E]   4 wk [E,E]  5 bk [1,E]   6 wv [E,E]  7 bv [1,E]
+#   8 wp [E,E]   9 bp [1,E]
+#  10 ln2_scale [1,E]  11 ln2_bias [1,E]
+#  12 w1 [E,F]  13 b1 [1,F]  14 w2 [F,E]  15 b2 [1,E]
+N_PARAMS = 16
+
+
+def use_fused_block(rows: int, n_tokens: int) -> bool:
+    """Whether the fused block kernel can serve this shape on this backend."""
+    if os.environ.get("VST_NO_FUSED_BLOCK"):
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and n_tokens == 2
+        and rows % TILE_ROWS == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel math helpers (operate on f32 register arrays)
+# ---------------------------------------------------------------------------
+
+
+def _ln_fwd(x, scale, bias):
+    """flax nn.LayerNorm: fast variance, f32 stats, eps 1e-6."""
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    mu2 = jnp.mean(x * x, axis=1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    return (x - mu) * (jax.lax.rsqrt(var + _LN_EPS) * scale) + bias
+
+
+def _ln_bwd(dy, x, scale):
+    """Returns (dx, dscale, dbias) for y = LN(x)*scale + bias."""
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    mu2 = jnp.mean(x * x, axis=1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    r = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = (x - mu) * r
+    dyn = dy * scale
+    m1 = jnp.mean(dyn, axis=1, keepdims=True)
+    m2 = jnp.mean(dyn * xhat, axis=1, keepdims=True)
+    dx = r * (dyn - m1 - xhat * m2)
+    dscale = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbias = jnp.sum(dy, axis=0, keepdims=True)
+    return dx, dscale, dbias
+
+
+def _partner(x):
+    """Swap adjacent row pairs: row 2i <-> row 2i+1 (any trailing width)."""
+    up = jnp.concatenate([x[1:], x[:1]], axis=0)
+    dn = jnp.concatenate([x[-1:], x[:-1]], axis=0)
+    even = (
+        jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0) % 2
+    ) == 0
+    return jnp.where(even, up, dn)
+
+
+def _group_matrix(e: int, d: int):
+    """f32 [E, E] block-diagonal ones: G[i, j] = (i // d == j // d)."""
+    gi = jax.lax.broadcasted_iota(jnp.int32, (e, e), 0) // d
+    gj = jax.lax.broadcasted_iota(jnp.int32, (e, e), 1) // d
+    return (gi == gj).astype(jnp.float32)
+
+
+def _group_sum(prod, g_mat):
+    """Per-head sums of ``prod`` [T, E], broadcast back over head lanes."""
+    return jax.lax.dot_general(
+        prod, g_mat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm(a, w):
+    """bf16 matmul with f32 accumulation: [T, I] @ [I, O]."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_t(a, w):
+    """bf16 [T, O] @ [I, O]^T -> [T, I], f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_grad(act, cot):
+    """Weight grad: act [T, I]^T @ cot [T, O] -> [I, O], f32 accumulation."""
+    return jax.lax.dot_general(
+        act.astype(jnp.bfloat16), cot.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf(x):
+    """erf via Abramowitz–Stegun 7.1.26 (|error| <= 1.5e-7, far below bf16
+    resolution) — Mosaic has no erf primitive, but exp lowers fine."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(u):
+    """Exact GELU (approximate=False): u * Phi(u)."""
+    return u * 0.5 * (1.0 + _erf(u * _INV_SQRT2))
+
+
+def _dgelu(u):
+    """d/du exact GELU: Phi(u) + u * phi(u)."""
+    phi = jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
+    return 0.5 * (1.0 + _erf(u * _INV_SQRT2)) + u * phi
+
+
+def _attn_fwd(q, k, v, g_mat, scale):
+    """Pair attention forward; returns (out, a_self, a_cross, pk, pv)."""
+    pk = _partner(k)
+    pv = _partner(v)
+    s_s = _group_sum(q * k, g_mat) * scale
+    s_c = _group_sum(q * pk, g_mat) * scale
+    m = jnp.maximum(s_s, s_c)
+    es = jnp.exp(s_s - m)
+    ec = jnp.exp(s_c - m)
+    zi = 1.0 / (es + ec)
+    a_s = es * zi
+    a_c = ec * zi
+    return a_s * v + a_c * pv, a_s, a_c, pk, pv
+
+
+def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
+    """Pair attention backward; returns (dq, dk, dv)."""
+    dv = a_s * dao + _partner(a_c * dao)
+    da_s = _group_sum(dao * v, g_mat)
+    da_c = _group_sum(dao * pv, g_mat)
+    s_dot = a_s * da_s + a_c * da_c
+    ds_s = a_s * (da_s - s_dot)
+    ds_c = a_c * (da_c - s_dot)
+    dq = (ds_s * k + ds_c * pk) * scale
+    dk = ds_s * q * scale + _partner(ds_c * q * scale)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_body(x, params, m1, m2, e, heads):
+    """Shared forward trace on f32 arrays; returns dict of intermediates."""
+    (ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
+     ln2s, ln2b, w1, b1, w2, b2) = params
+    d = e // heads
+    scale = 1.0 / float(d) ** 0.5
+    g_mat = _group_matrix(e, d)
+
+    y1 = _ln_fwd(x, ln1s, ln1b)
+    q = _mm(y1, wq) + bq
+    k = _mm(y1, wk) + bk
+    v = _mm(y1, wv) + bv
+    ao, a_s, a_c, pk, pv = _attn_fwd(q, k, v, g_mat, scale)
+    p = _mm(ao, wp) + bp
+    x_mid = x + m1 * p
+    y2 = _ln_fwd(x_mid, ln2s, ln2b)
+    u = _mm(y2, w1) + b1
+    h = _gelu(u)
+    o = _mm(h, w2) + b2
+    x_out = x_mid + m2 * o
+    return dict(y1=y1, q=q, k=k, v=v, ao=ao, a_s=a_s, a_c=a_c, pk=pk,
+                pv=pv, x_mid=x_mid, y2=y2, u=u, h=h, x_out=x_out,
+                g_mat=g_mat, scale=scale)
+
+
+def _make_fwd_kernel(e: int, f: int, heads: int, out_dtype):
+    def kernel(x_ref, *refs):
+        param_refs = refs[:N_PARAMS]
+        m1_ref, m2_ref, o_ref = refs[N_PARAMS:]
+        x = x_ref[...].astype(jnp.float32)
+        params = tuple(r[...].astype(jnp.float32) for r in param_refs)
+        t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads)
+        o_ref[...] = t["x_out"].astype(out_dtype)
+
+    return kernel
+
+
+def _make_bwd_kernel(e: int, f: int, heads: int, x_dtype):
+    def kernel(x_ref, *refs):
+        param_refs = refs[:N_PARAMS]
+        m1_ref, m2_ref, dy_ref = refs[N_PARAMS:N_PARAMS + 3]
+        out_refs = refs[N_PARAMS + 3:]
+        dx_ref = out_refs[0]
+        grad_refs = out_refs[1:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in grad_refs:
+                r[...] = jnp.zeros_like(r)
+
+        x = x_ref[...].astype(jnp.float32)
+        params = tuple(r[...].astype(jnp.float32) for r in param_refs)
+        (ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
+         ln2s, ln2b, w1, b1, w2, b2) = params
+        m1 = m1_ref[...]
+        m2 = m2_ref[...]
+        t = _fwd_body(x, params, m1, m2, e, heads)
+        dy = dy_ref[...].astype(jnp.float32)
+
+        # MLP branch.
+        do = dy * m2
+        dh = _mm_t(do, w2)
+        dw2 = _mm_grad(t["h"], do)
+        db2 = jnp.sum(do, axis=0, keepdims=True)
+        du = dh * _dgelu(t["u"])
+        dy2 = _mm_t(du, w1)
+        dw1 = _mm_grad(t["y2"], du)
+        db1 = jnp.sum(du, axis=0, keepdims=True)
+        dx_ln2, ds2, dbe2 = _ln_bwd(dy2, t["x_mid"], ln2s)
+        dxm = dy + dx_ln2
+
+        # Attention branch.
+        dp_ = dxm * m1
+        dao = _mm_t(dp_, wp)
+        dwp = _mm_grad(t["ao"], dp_)
+        dbp = jnp.sum(dp_, axis=0, keepdims=True)
+        dq, dk, dv = _attn_bwd(
+            dao, t["q"], t["k"], t["v"], t["a_s"], t["a_c"], t["pk"],
+            t["pv"], t["g_mat"], t["scale"],
+        )
+        dy1 = _mm_t(dq, wq) + _mm_t(dk, wk) + _mm_t(dv, wv)
+        dwq = _mm_grad(t["y1"], dq)
+        dbq = jnp.sum(dq, axis=0, keepdims=True)
+        dwk = _mm_grad(t["y1"], dk)
+        dbk = jnp.sum(dk, axis=0, keepdims=True)
+        dwv = _mm_grad(t["y1"], dv)
+        dbv = jnp.sum(dv, axis=0, keepdims=True)
+        dx_ln1, ds1, dbe1 = _ln_bwd(dy1, x, ln1s)
+
+        dx_ref[...] = (dxm + dx_ln1).astype(x_dtype)
+        grads = (ds1, dbe1, dwq, dbq, dwk, dbk, dwv, dbv, dwp, dbp,
+                 ds2, dbe2, dw1, db1, dw2, db2)
+        for r, g in zip(grad_refs, grads):
+            r[...] += g
+
+    return kernel
+
+
+def _param_specs(shapes):
+    return [
+        pl.BlockSpec(s, lambda i, _n=len(s): (0,) * _n)
+        for s in shapes
+    ]
+
+
+def _param_shapes(e: int, f: int):
+    ee, ve, vf = (e, e), (1, e), (1, f)
+    return [ve, ve, ee, ve, ee, ve, ee, ve, ee, ve, ve, ve,
+            (e, f), vf, (f, e), ve]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fwd(rows: int, e: int, f: int, heads: int, dtype_name: str,
+               interpret: bool):
+    out_dtype = jnp.dtype(dtype_name)
+    tile = TILE_ROWS
+    kernel = _make_fwd_kernel(e, f, heads, out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, e), lambda i: (i, 0)),
+            *_param_specs(_param_shapes(e, f)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, e), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, e), out_dtype),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bwd(rows: int, e: int, f: int, heads: int, dtype_name: str,
+               interpret: bool):
+    x_dtype = jnp.dtype(dtype_name)
+    tile = TILE_ROWS
+    kernel = _make_bwd_kernel(e, f, heads, x_dtype)
+    grad_shapes = _param_shapes(e, f)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, e), lambda i: (i, 0)),
+            *_param_specs(grad_shapes),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, e), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, e), lambda i: (i, 0)),
+            *_param_specs(grad_shapes),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, e), x_dtype),
+            *[jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
+        ],
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+def _run_fwd(heads, interpret, x, params, m1, m2):
+    rows, e = x.shape
+    f = params[12].shape[1]
+    call = _build_fwd(rows, e, f, heads, x.dtype.name, interpret)
+    return call(x, *params, m1, m2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_block(heads, interpret, x, params, m1, m2):
+    return _run_fwd(heads, interpret, x, params, m1, m2)
+
+
+def _fused_block_fwd(heads, interpret, x, params, m1, m2):
+    return _run_fwd(heads, interpret, x, params, m1, m2), (x, params, m1, m2)
+
+
+def _fused_block_bwd(heads, interpret, res, dy):
+    x, params, m1, m2 = res
+    rows, e = x.shape
+    f = params[12].shape[1]
+    call = _build_bwd(rows, e, f, heads, x.dtype.name, interpret)
+    out = call(x, *params, m1, m2, dy.astype(x.dtype))
+    dx = out[0]
+    dparams = tuple(
+        g.astype(p.dtype).reshape(p.shape)
+        for g, p in zip(out[1:], params)
+    )
+    return dx, dparams, jnp.zeros_like(m1), jnp.zeros_like(m2)
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_vit_block(
+    x: jnp.ndarray,
+    params: tuple,
+    m1: jnp.ndarray,
+    m2: jnp.ndarray,
+    *,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One pre-LN transformer block as a single fused kernel.
+
+    Args:
+        x: activations [rows, E], rows = batch * 2 tokens, image-major so
+            each image's (CLS, patch) pair occupies adjacent rows; rows must
+            be a multiple of ``TILE_ROWS``.
+        params: 16-tuple in the layout documented at module top (f32;
+            vector params reshaped to [1, D]).
+        m1 / m2: drop-path keep masks for the attention / MLP residual
+            branches, [rows, 1] f32 (already divided by the keep rate; pass
+            ones when deterministic).
+        num_heads: attention heads; E must divide evenly.
+
+    Returns [rows, E] activations in ``x.dtype``. Differentiable wrt ``x``
+    and ``params`` (masks receive zero cotangents).
+    """
+    return _fused_block(num_heads, interpret, x, params, m1, m2)
