@@ -304,6 +304,29 @@ def main() -> None:
     ft_mult = build_lr_mult(ft_params, rules=[("head", 1.0)], default=0.1)
     bench_fused("finetune", ft_core, ft_params, 2, lr_mult=ft_mult)
 
+    # Patch-4 flagship variant (README-documented vit_tiny_patch4_28:
+    # 49 patches + CLS = 50 tokens — real attention, XLA block path).
+    model_p4, _ = build_vit(
+        "vit_tiny_patch4_28", num_classes=9, num_channels=3, image_size=28,
+        drop_path_rate=cfg.model.drop_path_rate, dtype=dtype,
+    )
+    p4_params = model_p4.init(jax.random.key(0), sample)["params"]
+
+    def p4_core(state, imgs, labs, key, lr_s, lr_mult):
+        k_aug, k_drop = jax.random.split(key)
+        x = train_augment(imgs, k_aug, num_channels=3)
+
+        def loss_fn_(p):
+            logits = model_p4.apply({"params": p}, x, deterministic=False,
+                                    rngs={"dropout": k_drop})
+            return loss_fn(logits, labs)
+
+        loss, grads = jax.value_and_grad(loss_fn_)(state.params)
+        state = apply_updates(state, grads, tx, lr_s, lr_mult)
+        return state, jnp.stack([loss, jnp.float32(1.0)])
+
+    bench_fused("train-cls patch4 (50 tokens)", p4_core, p4_params, 2)
+
     # Flash attention vs XLA attention at long sequence (fwd + bwd).
     from vision_spectra_tpu.ops.attention import mha
     from vision_spectra_tpu.ops.flash_attention import flash_mha

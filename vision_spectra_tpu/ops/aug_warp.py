@@ -44,6 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["warp_augment", "use_pallas_warp"]
 
+# Images per grid program, best-first (largest divisor of the batch wins).
+# 8 measured best at 28 px on v5e (1-image programs are grid/DMA bound).
+GROUP_CANDIDATES = (8, 4, 2, 1)
+
 
 def use_pallas_warp(shape: tuple[int, ...]) -> bool:
     """Whether the Pallas augmentation kernel should serve this batch."""
@@ -169,7 +173,7 @@ def _make_kernel(h: int, w: int, c: int, bilinear: bool,
 def _build_call(b: int, h: int, w: int, c: int, bilinear: bool,
                 mean: tuple[float, ...], std: tuple[float, ...],
                 interpret: bool):
-    group = next(g for g in (8, 4, 2, 1) if b % g == 0)
+    group = next(g for g in GROUP_CANDIDATES if b % g == 0)
     kernel = _make_kernel(h, w, c, bilinear, mean, std, group)
     return pl.pallas_call(
         kernel,
