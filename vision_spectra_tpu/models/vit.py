@@ -357,12 +357,11 @@ class ViTClassifier(nn.Module):
             jax.default_backend() == "tpu" and jax.device_count() == 1
         ):
             return False
-        from vision_spectra_tpu.ops.block_fused import TILE_ROWS
+        from vision_spectra_tpu.ops.block_fused import select_tile
 
         b, n, _ = x.shape
         return (
-            n == 2
-            and (b * n) % TILE_ROWS == 0
+            select_tile(b * n, n) is not None
             and self.drop_rate == 0.0
             and self.attn_drop_rate == 0.0
             and not os.environ.get("VST_NO_FUSED_BLOCK")
@@ -428,7 +427,7 @@ class ViTClassifier(nn.Module):
             m1 = dp_mask(k1, dp_rates[i])
             m2 = dp_mask(k2, dp_rates[i])
             h = fused_vit_block(
-                h, params, m1, m2, num_heads=self.num_heads,
+                h, params, m1, m2, num_heads=self.num_heads, n_tokens=n,
                 interpret=interpret,
             )
         return h.reshape(b, n, e)

@@ -63,14 +63,32 @@ _LN_EPS = 1e-6
 N_PARAMS = 16
 
 
+def select_tile(rows: int, n_tokens: int) -> int | None:
+    """Row-tile size for this geometry, or None if the kernel can't serve it.
+
+    N == 2 uses the pair-attention path (cheapest, fixed 256-row tile).
+    2 < N <= 128 uses block-diagonal masked attention within the tile: the
+    tile is k·N rows for the largest k with k·N <= 256 that divides the
+    batch, so whole images never straddle tiles.
+    """
+    if n_tokens == 2:
+        return TILE_ROWS if rows % TILE_ROWS == 0 else None
+    if not 2 < n_tokens <= 128:
+        return None
+    batch = rows // n_tokens
+    for k in range(min(256 // n_tokens, batch), 0, -1):
+        if batch % k == 0:
+            return k * n_tokens
+    return None
+
+
 def use_fused_block(rows: int, n_tokens: int) -> bool:
     """Whether the fused block kernel can serve this shape on this backend."""
     if os.environ.get("VST_NO_FUSED_BLOCK"):
         return False
     return (
         jax.default_backend() == "tpu"
-        and n_tokens == 2
-        and rows % TILE_ROWS == 0
+        and select_tile(rows, n_tokens) is not None
     )
 
 
@@ -196,6 +214,95 @@ def _attn_fwd(q, k, v, g_mat, scale):
     return a_s * v + a_c * pv, a_s, a_c, pk, pv
 
 
+def _block_mask(t: int, n: int):
+    """[T, T] additive mask: 0 within an image's n-token block, -1e9 across."""
+    blk_r = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n
+    blk_c = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // n
+    return jnp.where(blk_r == blk_c, 0.0, -1e9)
+
+
+def _softmax_rows(s):
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _attn_fwd_general(q, k, v, n, heads, scale):
+    """Block-diagonal masked attention for 2 < N <= 128 tokens.
+
+    The tile holds k whole images; per head, full [T, T] scores are computed
+    on the MXU and cross-image pairs are masked out — a factor-k FLOP
+    overhead on the (small) attention term in exchange for keeping the
+    native [rows, E] layout with no head transposes.
+    """
+    t, e = q.shape
+    d = e // heads
+    neg = _block_mask(t, n)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl].astype(jnp.bfloat16), k[:, sl].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + neg
+        p = _softmax_rows(s)
+        outs.append(jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v[:, sl].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _attn_bwd_general(dao, q, k, v, n, heads, scale):
+    """Backward of :func:`_attn_fwd_general` (per-head recompute)."""
+    t, e = q.shape
+    d = e // heads
+    neg = _block_mask(t, n)
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl]
+        doh = dao[:, sl]
+        s = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + neg
+        p = _softmax_rows(s)
+        pb = p.astype(jnp.bfloat16)
+        dv = jax.lax.dot_general(
+            pb, doh.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            doh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        dsb = ds.astype(jnp.bfloat16)
+        dq = jax.lax.dot_general(
+            dsb, kh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            dsb, qh.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    return (jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+            jnp.concatenate(dvs, axis=1))
+
+
 def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
     """Pair attention backward; returns (dq, dk, dv)."""
     dv = a_s * dao + _partner(a_c * dao)
@@ -214,19 +321,23 @@ def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_body(x, params, m1, m2, e, heads):
+def _fwd_body(x, params, m1, m2, e, heads, n):
     """Shared forward trace on f32 arrays; returns dict of intermediates."""
     (ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
      ln2s, ln2b, w1, b1, w2, b2) = params
     d = e // heads
     scale = 1.0 / float(d) ** 0.5
-    g_mat = _group_matrix(e, d)
+    g_mat = _group_matrix(e, d) if n == 2 else None
 
     y1 = _ln_fwd(x, ln1s, ln1b)
     q = _mm(y1, wq) + bq
     k = _mm(y1, wk) + bk
     v = _mm(y1, wv) + bv
-    ao, a_s, a_c, pk, pv = _attn_fwd(q, k, v, g_mat, scale)
+    if n == 2:
+        ao, a_s, a_c, pk, pv = _attn_fwd(q, k, v, g_mat, scale)
+    else:
+        ao = _attn_fwd_general(q, k, v, n, heads, scale)
+        a_s = a_c = pk = pv = None
     p = _mm(ao, wp) + bp
     x_mid = x + m1 * p
     y2 = _ln_fwd(x_mid, ln2s, ln2b)
@@ -239,19 +350,19 @@ def _fwd_body(x, params, m1, m2, e, heads):
                 g_mat=g_mat, scale=scale)
 
 
-def _make_fwd_kernel(e: int, f: int, heads: int, out_dtype):
+def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, o_ref = refs[N_PARAMS:]
         x = x_ref[...].astype(jnp.float32)
         params = tuple(r[...].astype(jnp.float32) for r in param_refs)
-        t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads)
+        t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads, n)
         o_ref[...] = t["x_out"].astype(out_dtype)
 
     return kernel
 
 
-def _make_bwd_kernel(e: int, f: int, heads: int, x_dtype):
+def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, dy_ref = refs[N_PARAMS:N_PARAMS + 3]
@@ -270,7 +381,7 @@ def _make_bwd_kernel(e: int, f: int, heads: int, x_dtype):
          ln2s, ln2b, w1, b1, w2, b2) = params
         m1 = m1_ref[...]
         m2 = m2_ref[...]
-        t = _fwd_body(x, params, m1, m2, e, heads)
+        t = _fwd_body(x, params, m1, m2, e, heads, n)
         dy = dy_ref[...].astype(jnp.float32)
 
         # MLP branch.
@@ -290,10 +401,15 @@ def _make_bwd_kernel(e: int, f: int, heads: int, x_dtype):
         dao = _mm_t(dp_, wp)
         dwp = _mm_grad(t["ao"], dp_)
         dbp = jnp.sum(dp_, axis=0, keepdims=True)
-        dq, dk, dv = _attn_bwd(
-            dao, t["q"], t["k"], t["v"], t["a_s"], t["a_c"], t["pk"],
-            t["pv"], t["g_mat"], t["scale"],
-        )
+        if n == 2:
+            dq, dk, dv = _attn_bwd(
+                dao, t["q"], t["k"], t["v"], t["a_s"], t["a_c"], t["pk"],
+                t["pv"], t["g_mat"], t["scale"],
+            )
+        else:
+            dq, dk, dv = _attn_bwd_general(
+                dao, t["q"], t["k"], t["v"], n, heads, t["scale"],
+            )
         dy1 = _mm_t(dq, wq) + _mm_t(dk, wk) + _mm_t(dv, wv)
         dwq = _mm_grad(t["y1"], dq)
         dbq = jnp.sum(dq, axis=0, keepdims=True)
@@ -326,11 +442,10 @@ def _param_shapes(e: int, f: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fwd(rows: int, e: int, f: int, heads: int, dtype_name: str,
-               interpret: bool):
+def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
+               dtype_name: str, interpret: bool):
     out_dtype = jnp.dtype(dtype_name)
-    tile = TILE_ROWS
-    kernel = _make_fwd_kernel(e, f, heads, out_dtype)
+    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype)
     return pl.pallas_call(
         kernel,
         grid=(rows // tile,),
@@ -347,11 +462,10 @@ def _build_fwd(rows: int, e: int, f: int, heads: int, dtype_name: str,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_bwd(rows: int, e: int, f: int, heads: int, dtype_name: str,
-               interpret: bool):
+def _build_bwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
+               dtype_name: str, interpret: bool):
     x_dtype = jnp.dtype(dtype_name)
-    tile = TILE_ROWS
-    kernel = _make_bwd_kernel(e, f, heads, x_dtype)
+    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype)
     grad_shapes = _param_shapes(e, f)
     return pl.pallas_call(
         kernel,
@@ -380,27 +494,30 @@ def _build_bwd(rows: int, e: int, f: int, heads: int, dtype_name: str,
 # ---------------------------------------------------------------------------
 
 
-def _run_fwd(heads, interpret, x, params, m1, m2):
+def _run_fwd(heads, n, interpret, x, params, m1, m2):
     rows, e = x.shape
     f = params[12].shape[1]
-    call = _build_fwd(rows, e, f, heads, x.dtype.name, interpret)
+    tile = select_tile(rows, n)
+    call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name, interpret)
     return call(x, *params, m1, m2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_block(heads, interpret, x, params, m1, m2):
-    return _run_fwd(heads, interpret, x, params, m1, m2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_block(heads, n, interpret, x, params, m1, m2):
+    return _run_fwd(heads, n, interpret, x, params, m1, m2)
 
 
-def _fused_block_fwd(heads, interpret, x, params, m1, m2):
-    return _run_fwd(heads, interpret, x, params, m1, m2), (x, params, m1, m2)
+def _fused_block_fwd(heads, n, interpret, x, params, m1, m2):
+    return (_run_fwd(heads, n, interpret, x, params, m1, m2),
+            (x, params, m1, m2))
 
 
-def _fused_block_bwd(heads, interpret, res, dy):
+def _fused_block_bwd(heads, n, interpret, res, dy):
     x, params, m1, m2 = res
     rows, e = x.shape
     f = params[12].shape[1]
-    call = _build_bwd(rows, e, f, heads, x.dtype.name, interpret)
+    tile = select_tile(rows, n)
+    call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret)
     out = call(x, *params, m1, m2, dy.astype(x.dtype))
     dx = out[0]
     dparams = tuple(
@@ -420,22 +537,25 @@ def fused_vit_block(
     m2: jnp.ndarray,
     *,
     num_heads: int,
+    n_tokens: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One pre-LN transformer block as a single fused kernel.
 
     Args:
-        x: activations [rows, E], rows = batch * 2 tokens, image-major so
-            each image's (CLS, patch) pair occupies adjacent rows; rows must
-            be a multiple of ``TILE_ROWS``.
+        x: activations [rows, E], rows = batch * n_tokens, image-major so
+            each image's tokens occupy adjacent rows; ``select_tile(rows,
+            n_tokens)`` must be non-None.
         params: 16-tuple in the layout documented at module top (f32;
             vector params reshaped to [1, D]).
         m1 / m2: drop-path keep masks for the attention / MLP residual
             branches, [rows, 1] f32 (already divided by the keep rate; pass
             ones when deterministic).
         num_heads: attention heads; E must divide evenly.
+        n_tokens: tokens per image — 2 selects the pair-attention path, 3
+            to 128 the block-diagonal masked path.
 
     Returns [rows, E] activations in ``x.dtype``. Differentiable wrt ``x``
     and ``params`` (masks receive zero cotangents).
     """
-    return _fused_block(num_heads, interpret, x, params, m1, m2)
+    return _fused_block(num_heads, n_tokens, interpret, x, params, m1, m2)
