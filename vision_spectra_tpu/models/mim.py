@@ -229,9 +229,9 @@ class MIMModel(nn.Module):
         cls = jnp.broadcast_to(cls, (visible.shape[0], 1, enc.embed_dim))
         x = jnp.concatenate([cls, visible], axis=1)
         x = enc.pos_drop(x, deterministic=deterministic)
-        for blk in enc.blocks:
-            x = blk(x, deterministic=deterministic)
-        x = enc.norm(x)
+        # encode = blocks + final norm; routes through the fused block kernel
+        # when the visible-token geometry allows (ops/block_fused.py).
+        x = enc.encode(x, deterministic=deterministic)
         return x[:, 1:, :], mask, ids_restore  # strip CLS for the decoder
 
     def forward_decoder(

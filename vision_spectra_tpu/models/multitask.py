@@ -72,9 +72,8 @@ class MultitaskViT(nn.Module):
         cls = jnp.broadcast_to(cls, (visible.shape[0], 1, enc.embed_dim))
         h = jnp.concatenate([cls, visible], axis=1)
         h = enc.pos_drop(h, deterministic=deterministic)
-        for blk in enc.blocks:
-            h = blk(h, deterministic=deterministic)
-        h = enc.norm(h)
+        # encode = blocks + final norm (fused block kernel when applicable).
+        h = enc.encode(h, deterministic=deterministic)
         return h[:, 1:, :], mask, ids_restore
 
     def forward_mim(

@@ -107,6 +107,12 @@ def save_mim_examples(
 
     h = orig.shape[1]
     g = h // patch_size
+    # Patchification crops the image to a multiple of the patch size (e.g.
+    # 28 px / patch 16 → a 16 px grid); crop the originals to match so the
+    # mask overlay and diff panels line up with the reconstruction.
+    crop = g * patch_size
+    orig = orig[:, :crop, :crop]
+    recon = recon[:, :crop, :crop]
     fig, axes = plt.subplots(4, n, figsize=(3 * n, 12))
     axes = np.atleast_2d(axes)
     if axes.shape[0] != 4:
