@@ -49,6 +49,9 @@ def _build_config(
     cfg.name = name
     cfg.seed = seed
     cfg.device = device if device in ("auto", "cpu", "tpu") else "auto"
+    from vision_spectra_tpu.core.runtime import apply_platform
+
+    apply_platform(cfg.device)  # --device cpu/tpu takes effect in-process
     cfg.dataset.name = DatasetName(dataset)
     cfg.dataset.batch_size = batch_size
     cfg.optimizer.learning_rate = lr
@@ -135,8 +138,12 @@ def _common_options(defaults):
 @click.version_option(__version__, "--version")
 def main() -> None:
     """vision-spectra: TPU-native ViT training with spectral analysis."""
-    from vision_spectra_tpu.core.runtime import enable_compilation_cache
+    from vision_spectra_tpu.core.runtime import (
+        apply_platform,
+        enable_compilation_cache,
+    )
 
+    apply_platform()  # honor JAX_PLATFORMS before any backend init
     enable_compilation_cache()
 
 

@@ -15,7 +15,30 @@ import contextlib
 import os
 from pathlib import Path
 
-__all__ = ["enable_compilation_cache", "trace"]
+__all__ = ["apply_platform", "enable_compilation_cache", "trace"]
+
+
+def apply_platform(device: str | None = None) -> None:
+    """Force the JAX platform in-process ('cpu' / 'tpu').
+
+    Precedence: explicit ``device`` (a resolved ``ExperimentConfig.device``)
+    > ``JAX_PLATFORMS`` env var > leave JAX's default. The in-process
+    ``jax.config.update`` is required because environments whose
+    sitecustomize imports jax at interpreter startup (e.g. remote-TPU
+    attachments) resolve the platform before shell env vars are consulted.
+    No-op if the backend is already initialized to something else.
+    """
+    import jax
+
+    plat = device if device not in (None, "", "auto") else os.environ.get(
+        "JAX_PLATFORMS"
+    )
+    if not plat or plat == "auto":
+        return
+    try:
+        jax.config.update("jax_platforms", plat)
+    except RuntimeError:
+        pass  # backend already initialized; too late to switch
 
 _DEFAULT_CACHE = Path.home() / ".cache" / "vision_spectra_tpu" / "jax_cache"
 

@@ -165,6 +165,9 @@ def run_single_experiment(
 
 
 def run_all_experiments(sweep: SweepConfig) -> list[ExperimentResult]:
+    from vision_spectra_tpu.core.runtime import apply_platform
+
+    apply_platform(sweep.device)
     results = []
     total = len(sweep.losses) * len(sweep.seeds)
     i = 0
