@@ -165,23 +165,27 @@ class TestSmokeTraining:
         assert r.exit_code == 0, r.output
 
     def test_config_yaml_option(self, runner, tmp_path):
-        from vision_spectra_tpu.config import ExperimentConfig
+        """--config uses the YAML exclusively (reference cli.py:98-114);
+        everything the run needs lives in the file."""
+        from vision_spectra_tpu.config import DatasetName, ExperimentConfig
 
         cfg = ExperimentConfig()
+        cfg.name = "cfg_smoke"
+        cfg.dataset.name = DatasetName.SYNTHETIC
+        cfg.dataset.batch_size = 8
+        cfg.model.name = "vit_tiny_patch4_28"
         cfg.model.embed_dim = 32
         cfg.model.depth = 1
         cfg.model.drop_path_rate = 0.0
+        cfg.training.epochs = 1
+        cfg.training.smoke_test = True
+        cfg.data_dir = tmp_path / "data"
+        cfg.output_dir = tmp_path / "runs"
         path = tmp_path / "cfg.yaml"
         cfg.to_yaml(path)
         r = runner.invoke(
             main,
-            [
-                "train-cls", "--config", str(path), "--dataset", "synthetic",
-                "--epochs", "1", "--batch-size", "8", "--smoke-test",
-                "--name", "cfg_smoke", "--model", "vit_tiny_patch4_28",
-                "--output-dir", str(tmp_path / "runs"),
-                "--data-dir", str(tmp_path / "data"),
-            ],
+            ["train-cls", "--config", str(path)],
             catch_exceptions=False,
         )
         assert r.exit_code == 0, r.output
@@ -206,3 +210,26 @@ def test_sweep_cli_covers_reference_options():
     ]
     for opt in reference_options:
         assert opt in result.output, f"missing sweep option {opt}"
+
+
+class TestYamlConfig:
+    def test_yaml_used_as_is(self, runner, tmp_path):
+        """-c YAML is used exclusively (reference cli.py:98-114 if/else) —
+        CLI flag defaults must NOT clobber YAML values like epochs."""
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            "name: yaml_smoke\n"
+            "seed: 7\n"
+            f"data_dir: {tmp_path / 'data'}\n"
+            f"output_dir: {tmp_path / 'runs'}\n"
+            "dataset:\n  name: synthetic\n  batch_size: 8\n"
+            "training:\n  epochs: 1\n  smoke_test: true\n"
+        )
+        r = runner.invoke(
+            main, ["train-cls", "-c", str(cfg)], catch_exceptions=False
+        )
+        assert r.exit_code == 0, r.output
+        # smoke_test/epochs from the YAML took effect: the run finished in
+        # one epoch (flag defaults would run 50 full epochs — loguru output
+        # is not captured by the click runner, so assert on completion).
+        assert "Final:" in r.output

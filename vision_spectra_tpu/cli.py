@@ -39,18 +39,20 @@ def _build_config(
     model_axis=None,
     aug_mode=None,
 ):
-    """CLI > YAML > defaults precedence (reference: cli.py:97-114)."""
+    """Config resolution matching the reference (cli.py:98-114): a ``-c``
+    YAML is used AS-IS (the other CLI options are ignored — the reference's
+    if/else does exactly this); without it the flags build the config."""
     from vision_spectra_tpu.config import DatasetName, ExperimentConfig, LossName
+    from vision_spectra_tpu.core.runtime import apply_platform
 
     if config_path:
         cfg = ExperimentConfig.from_yaml(config_path)
-    else:
-        cfg = ExperimentConfig()
+        apply_platform(cfg.device)
+        return cfg
+    cfg = ExperimentConfig()
     cfg.name = name
     cfg.seed = seed
     cfg.device = device if device in ("auto", "cpu", "tpu") else "auto"
-    from vision_spectra_tpu.core.runtime import apply_platform
-
     apply_platform(cfg.device)  # --device cpu/tpu takes effect in-process
     cfg.dataset.name = DatasetName(dataset)
     cfg.dataset.batch_size = batch_size
