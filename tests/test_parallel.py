@@ -221,3 +221,30 @@ class TestTrainerOnMesh:
         cfg.dataset.batch_size = 6  # not divisible by 8
         with pytest.raises(ValueError, match="divisible"):
             self._run(cfg)
+
+
+def test_fetch_pytree_sharded_leaves():
+    """fetch_pytree must handle leaves sharded across the mesh (per-leaf
+    device_get path) mixed with replicated/single-device and host leaves."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vision_spectra_tpu.parallel.mesh import make_mesh
+    from vision_spectra_tpu.utils.transfer import fetch_pytree
+
+    mesh = make_mesh(model_axis=2)
+    sharded = jax.device_put(
+        jnp.arange(32, dtype=jnp.float32).reshape(8, 4),
+        NamedSharding(mesh, P("data", "model")),
+    )
+    replicated = jax.device_put(
+        jnp.ones((3,), jnp.float32), NamedSharding(mesh, P())
+    )
+    tree = {"s": sharded, "r": replicated, "h": np.arange(2), "x": 1.5}
+    out = fetch_pytree(tree)
+    np.testing.assert_array_equal(
+        out["s"], np.arange(32, dtype=np.float32).reshape(8, 4)
+    )
+    np.testing.assert_array_equal(out["r"], np.ones((3,), np.float32))
+    assert isinstance(out["s"], np.ndarray) and isinstance(out["r"], np.ndarray)
+    assert out["x"] == 1.5

@@ -34,9 +34,23 @@ def _is_device_array(x: Any) -> bool:
 
 
 def fetch_pytree(tree: Any) -> Any:
-    """Copy a pytree to host numpy using one transfer per dtype group."""
+    """Copy a pytree to host numpy using one transfer per dtype group.
+
+    Arrays sharded across more than one device are fetched per-leaf via
+    ``jax.device_get`` instead: concatenating leaves with heterogeneous
+    shardings outside jit forces ad-hoc XLA reshard programs (observed to
+    abort sporadically on virtual CPU meshes), and on a multi-chip mesh the
+    fetch is per-shard anyway, so packing buys nothing there.
+    """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    device_idx = [i for i, l in enumerate(leaves) if _is_device_array(l)]
+    device_idx = []
+    for i, leaf in enumerate(leaves):
+        if not _is_device_array(leaf):
+            continue
+        if len(leaf.sharding.device_set) > 1:
+            leaves[i] = np.asarray(jax.device_get(leaf))
+        else:
+            device_idx.append(i)
     if not device_idx:
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
