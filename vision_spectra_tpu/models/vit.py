@@ -357,11 +357,15 @@ class ViTClassifier(nn.Module):
             jax.default_backend() == "tpu" and jax.device_count() == 1
         ):
             return False
-        from vision_spectra_tpu.ops.block_fused import select_tile
+        from vision_spectra_tpu.ops.block_fused import (
+            MAX_EMBED_DIM,
+            select_tile,
+        )
 
         b, n, _ = x.shape
         return (
             select_tile(b * n, n) is not None
+            and self.embed_dim <= MAX_EMBED_DIM
             and self.drop_rate == 0.0
             and self.attn_drop_rate == 0.0
             and not os.environ.get("VST_NO_FUSED_BLOCK")

@@ -82,12 +82,20 @@ def select_tile(rows: int, n_tokens: int) -> int | None:
     return None
 
 
-def use_fused_block(rows: int, n_tokens: int) -> bool:
+# Largest embed dim the kernel serves: all block weights (bf16) plus their
+# f32 gradient accumulators must fit VMEM alongside the activation tile.
+# Measured on v5e: 384 (ViT-Small, ~2.95M block params) compiles and runs;
+# 768 (ViT-Base, ~7.1M) overflows and fails to compile.
+MAX_EMBED_DIM = 384
+
+
+def use_fused_block(rows: int, n_tokens: int, embed_dim: int = 192) -> bool:
     """Whether the fused block kernel can serve this shape on this backend."""
     if os.environ.get("VST_NO_FUSED_BLOCK"):
         return False
     return (
         jax.default_backend() == "tpu"
+        and embed_dim <= MAX_EMBED_DIM
         and select_tile(rows, n_tokens) is not None
     )
 
