@@ -305,7 +305,8 @@ def main() -> None:
     bench_fused("finetune", ft_core, ft_params, 2, lr_mult=ft_mult)
 
     # Patch-4 flagship variant (README-documented vit_tiny_patch4_28:
-    # 49 patches + CLS = 50 tokens — real attention, XLA block path).
+    # 49 patches + CLS = 50 tokens — real attention; on single-chip TPU the
+    # fused block kernel's block-diagonal masked-attention path serves it).
     model_p4, _ = build_vit(
         "vit_tiny_patch4_28", num_classes=9, num_channels=3, image_size=28,
         drop_path_rate=cfg.model.drop_path_rate, dtype=dtype,

@@ -334,11 +334,18 @@ class TestFusedBlock:
         assert np.abs(o1 - o2).max() > 1e-4
 
     def test_gate_respects_geometry(self):
-        """Odd row counts / token counts fall back to the XLA path."""
-        from vision_spectra_tpu.ops.block_fused import use_fused_block
+        """Geometry gate (backend-agnostic kernel_serves): odd row counts,
+        rows not divisible by n_tokens, and oversized embed dims all fall
+        back to the XLA path."""
+        from vision_spectra_tpu.ops.block_fused import kernel_serves
 
-        assert not use_fused_block(rows=250, n_tokens=2)
-        assert not use_fused_block(rows=512, n_tokens=50)
+        assert kernel_serves(rows=512, n_tokens=2)
+        assert not kernel_serves(rows=250, n_tokens=2)
+        # rows=512 is NOT a multiple of 50 tokens — whole images would
+        # straddle tiles; must be rejected, not truncated.
+        assert not kernel_serves(rows=512, n_tokens=50)
+        assert kernel_serves(rows=800, n_tokens=50)
+        assert not kernel_serves(rows=512, n_tokens=2, embed_dim=768)
 
     def test_erf_matches_lax(self):
         from vision_spectra_tpu.ops.block_fused import _erf

@@ -38,7 +38,15 @@ def apply_platform(device: str | None = None) -> None:
     try:
         jax.config.update("jax_platforms", plat)
     except RuntimeError:
-        pass  # backend already initialized; too late to switch
+        # Backend already initialized; too late to switch. Be loud — on
+        # single-tenant TPU attachments a silently-ignored 'cpu' means the
+        # run grabs the TPU.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "apply_platform(%r) ignored: JAX backend already initialized "
+            "to %s", plat, jax.default_backend(),
+        )
 
 _DEFAULT_CACHE = Path.home() / ".cache" / "vision_spectra_tpu" / "jax_cache"
 

@@ -234,13 +234,20 @@ def _random_affine_inverse(key: jax.Array, batch: int, h: int, w: int) -> jnp.nd
     )
 
 
-def _jitter_factors(key: jax.Array, b: int) -> tuple[jnp.ndarray, ...]:
-    """Per-sample (brightness, contrast, saturation) factors, each [B]."""
-    k_b, k_c, k_s = jax.random.split(key, 3)
+def _draw_factors(
+    k_b: jax.Array, k_c: jax.Array, k_s: jax.Array, b: int
+) -> tuple[jnp.ndarray, ...]:
+    """The frozen jitter-factor distributions, from pre-split keys."""
     fb = jax.random.uniform(k_b, (b,), minval=1 - BRIGHTNESS, maxval=1 + BRIGHTNESS)
     fc = jax.random.uniform(k_c, (b,), minval=1 - CONTRAST, maxval=1 + CONTRAST)
     fs = jax.random.uniform(k_s, (b,), minval=1 - SATURATION, maxval=1 + SATURATION)
     return fb, fc, fs
+
+
+def _jitter_factors(key: jax.Array, b: int) -> tuple[jnp.ndarray, ...]:
+    """Per-sample (brightness, contrast, saturation) factors, each [B]
+    (fixed-order recipe: 3-way key split, a frozen parity contract)."""
+    return _draw_factors(*jax.random.split(key, 3), b)
 
 
 def _color_jitter(key: jax.Array, x: jnp.ndarray, num_channels: int) -> jnp.ndarray:
@@ -284,11 +291,14 @@ _JITTER_PERMS = np.array(
 def _jitter_params(
     key: jax.Array, b: int, num_channels: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Shuffled-jitter params: factors [B, 3] and per-stage opcodes [B, 3]."""
+    """Shuffled-jitter params: factors [B, 3] and per-stage opcodes [B, 3].
+
+    The factor distributions are shared with :func:`_jitter_factors` via
+    :func:`_draw_factors` (a frozen parity contract — so is this function's
+    4-way key split); only the op-order permutation is extra.
+    """
     k_b, k_c, k_s, k_p = jax.random.split(key, 4)
-    fb = jax.random.uniform(k_b, (b,), minval=1 - BRIGHTNESS, maxval=1 + BRIGHTNESS)
-    fc = jax.random.uniform(k_c, (b,), minval=1 - CONTRAST, maxval=1 + CONTRAST)
-    fs = jax.random.uniform(k_s, (b,), minval=1 - SATURATION, maxval=1 + SATURATION)
+    fb, fc, fs = _draw_factors(k_b, k_c, k_s, b)
     perm = jnp.asarray(_JITTER_PERMS)[jax.random.randint(k_p, (b,), 0, 6)]
     return jnp.stack([fb, fc, fs], axis=1), perm
 

@@ -27,7 +27,6 @@ always float32.
 
 from __future__ import annotations
 
-import os
 import re
 from dataclasses import dataclass
 from typing import Any
@@ -353,23 +352,17 @@ class ViTClassifier(nn.Module):
         """
         if self.use_fused_blocks is False or self.is_initializing():
             return False
-        if self.use_fused_blocks is None and not (
-            jax.default_backend() == "tpu" and jax.device_count() == 1
-        ):
+        if self.drop_rate != 0.0 or self.attn_drop_rate != 0.0:
             return False
         from vision_spectra_tpu.ops.block_fused import (
-            MAX_EMBED_DIM,
-            select_tile,
+            kernel_serves,
+            use_fused_block,
         )
 
         b, n, _ = x.shape
-        return (
-            select_tile(b * n, n) is not None
-            and self.embed_dim <= MAX_EMBED_DIM
-            and self.drop_rate == 0.0
-            and self.attn_drop_rate == 0.0
-            and not os.environ.get("VST_NO_FUSED_BLOCK")
-        )
+        if self.use_fused_blocks is None:  # auto: single-chip TPU only
+            return use_fused_block(b * n, n, self.embed_dim)
+        return kernel_serves(b * n, n, self.embed_dim)  # forced (tests)
 
     def _encode_fused(
         self, x: jnp.ndarray, deterministic: bool = True

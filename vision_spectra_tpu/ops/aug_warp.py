@@ -56,8 +56,11 @@ def use_pallas_warp(shape: tuple[int, ...]) -> bool:
     b, h, w, c = shape
     # VMEM budget: weight matrices are [H, H*W] and [W, H*W] f32; 64 px
     # (4096-lane) images use ~2 MB — beyond that the XLA gather path wins.
+    # Single-chip only: pallas_call is not GSPMD-partitionable, so sharded
+    # train steps (multi-device meshes) keep the XLA path.
     return (
         jax.default_backend() == "tpu"
+        and jax.device_count() == 1
         and c in (1, 3)
         and 8 <= h <= 64
         and 8 <= w <= 64

@@ -71,6 +71,8 @@ def select_tile(rows: int, n_tokens: int) -> int | None:
     tile is k·N rows for the largest k with k·N <= 256 that divides the
     batch, so whole images never straddle tiles.
     """
+    if rows % n_tokens:
+        return None
     if n_tokens == 2:
         return TILE_ROWS if rows % TILE_ROWS == 0 else None
     if not 2 < n_tokens <= 128:
@@ -89,14 +91,27 @@ def select_tile(rows: int, n_tokens: int) -> int | None:
 MAX_EMBED_DIM = 384
 
 
-def use_fused_block(rows: int, n_tokens: int, embed_dim: int = 192) -> bool:
-    """Whether the fused block kernel can serve this shape on this backend."""
-    if os.environ.get("VST_NO_FUSED_BLOCK"):
-        return False
+def kernel_serves(rows: int, n_tokens: int, embed_dim: int = 192) -> bool:
+    """Backend-agnostic gate: geometry, embed-dim budget, env kill switch.
+
+    The single source of truth for whether the kernel CAN run a shape;
+    callers forcing the kernel (tests, ``use_fused_blocks=True``) check
+    only this.
+    """
     return (
-        jax.default_backend() == "tpu"
+        not os.environ.get("VST_NO_FUSED_BLOCK")
         and embed_dim <= MAX_EMBED_DIM
         and select_tile(rows, n_tokens) is not None
+    )
+
+
+def use_fused_block(rows: int, n_tokens: int, embed_dim: int = 192) -> bool:
+    """Auto-gate: single-chip TPU (pallas_call is not GSPMD-partitionable,
+    so multi-device meshes keep the XLA path) + :func:`kernel_serves`."""
+    return (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and kernel_serves(rows, n_tokens, embed_dim)
     )
 
 

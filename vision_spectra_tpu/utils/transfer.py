@@ -48,7 +48,15 @@ def fetch_pytree(tree: Any) -> Any:
         if not _is_device_array(leaf):
             continue
         if len(leaf.sharding.device_set) > 1:
-            leaves[i] = np.asarray(jax.device_get(leaf))
+            if leaf.ndim == 0:
+                # Never fetch a 0-d array (pathological slow path on
+                # tunneled attachments); 0-d leaves are always replicated,
+                # so the reshape is free.
+                leaves[i] = np.asarray(
+                    jax.device_get(jnp.reshape(leaf, (1,)))
+                ).reshape(())
+            else:
+                leaves[i] = np.asarray(jax.device_get(leaf))
         else:
             device_idx.append(i)
     if not device_idx:
