@@ -328,6 +328,33 @@ def main() -> None:
 
     bench_fused("train-cls patch4 (50 tokens)", p4_core, p4_params, 2)
 
+    # MIM at its realistic geometry: patch 4 -> 49 patches, mask 0.75 ->
+    # 13 visible tokens; the masked encoder routes through the fused block
+    # kernel's block-diagonal path (models/mim.py forward_encoder).
+    mim_p4 = MIMModel(encoder=model_p4, decoder_embed_dim=128,
+                      decoder_depth=2, decoder_num_heads=4, mask_ratio=0.75,
+                      dtype=dtype)
+    mim_p4_params = mim_p4.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)}, sample, 0.75
+    )["params"]
+
+    def mim_p4_core(state, imgs, labs, key, lr_s, lr_mult):
+        k_aug, k_drop, k_mask = jax.random.split(key, 3)
+        x = mim_augment(imgs, k_aug, num_channels=3)
+
+        def loss_fn_(p):
+            loss, _pred, _mask = mim_p4.apply(
+                {"params": p}, x, 0.75, deterministic=False,
+                rngs={"dropout": k_drop, "mask": k_mask})
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn_)(state.params)
+        state = apply_updates(state, grads, tx, lr_s, lr_mult)
+        return state, jnp.stack([loss, jnp.float32(1.0)])
+
+    bench_fused("pretrain-mim patch4 (13 visible tokens)", mim_p4_core,
+                mim_p4_params, 2)
+
     # Flash attention vs XLA attention at long sequence (fwd + bwd).
     from vision_spectra_tpu.ops.attention import mha
     from vision_spectra_tpu.ops.flash_attention import flash_mha
