@@ -223,6 +223,44 @@ class TestTrainerOnMesh:
             self._run(cfg)
 
 
+def test_fetch_pytree_packs_same_sharding_group():
+    """Multiple leaves with identical mesh sharding fetch as ONE packed
+    transfer (all-gather + concat under jit) and round-trip exactly."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vision_spectra_tpu.parallel.mesh import make_mesh
+    from vision_spectra_tpu.utils.transfer import fetch_pytree
+
+    mesh = make_mesh(model_axis=2)
+    sh = NamedSharding(mesh, P("data", None))
+    a = jax.device_put(jnp.arange(32, dtype=jnp.float32).reshape(8, 4), sh)
+    b = jax.device_put(jnp.ones((16, 2), jnp.float32) * 3, sh)
+    c = jax.device_put(
+        jnp.arange(8, dtype=jnp.int32), NamedSharding(mesh, P("data"))
+    )
+    out = fetch_pytree({"a": a, "b": b, "c": c})
+    np.testing.assert_array_equal(
+        out["a"], np.arange(32, dtype=np.float32).reshape(8, 4)
+    )
+    np.testing.assert_array_equal(out["b"], np.full((16, 2), 3, np.float32))
+    np.testing.assert_array_equal(out["c"], np.arange(8, dtype=np.int32))
+    assert all(isinstance(v, np.ndarray) for v in out.values())
+
+
+def test_env_flag_semantics(monkeypatch):
+    """Kill switches only trigger on truthy values — FLAG=0 keeps kernels on."""
+    from vision_spectra_tpu.core.runtime import env_flag
+    from vision_spectra_tpu.ops.block_fused import kernel_serves
+
+    monkeypatch.setenv("VST_NO_FUSED_BLOCK", "0")
+    assert not env_flag("VST_NO_FUSED_BLOCK")
+    assert kernel_serves(512, 2)
+    monkeypatch.setenv("VST_NO_FUSED_BLOCK", "1")
+    assert env_flag("VST_NO_FUSED_BLOCK")
+    assert not kernel_serves(512, 2)
+
+
 def test_fetch_pytree_sharded_leaves():
     """fetch_pytree must handle leaves sharded across the mesh (per-leaf
     device_get path) mixed with replicated/single-device and host leaves."""

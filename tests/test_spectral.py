@@ -292,8 +292,11 @@ class TestPaddedDynamicMetrics:
         assert after - before == 1  # one compile serves both true sizes
 
     def test_high_water_target_reuse_across_model_sizes(self):
-        """After a large model's snapshot, a smaller model's snapshot reuses
-        the already-compiled padded SVD program (no new compile)."""
+        """After a large model's snapshot, a moderately smaller model's
+        snapshot reuses the already-compiled padded SVD program (no new
+        compile) — but a FAR smaller model compiles its own program instead
+        of paying an arbitrarily inflated SVD (covering volume capped at
+        ~8x the requested one, ADVICE r1)."""
         from vision_spectra_tpu.spectral import get_spectral_metrics
         from vision_spectra_tpu.spectral.metrics import (
             _batched_spectra_dynamic,
@@ -301,17 +304,26 @@ class TestPaddedDynamicMetrics:
         )
 
         rng = np.random.RandomState(3)
-        large = [rng.randn(192, 768).astype(np.float32) for _ in range(9)]
+        large = [rng.randn(96, 384).astype(np.float32) for _ in range(9)]
         batched_spectral_metrics_padded(large)
         before = _batched_spectra_dynamic._cache_size()
-        small = [rng.randn(32, 128).astype(np.float32) for _ in range(3)]
+        # (16*96*384) / (4*96*192) = 8x — within the cap: reuse.
+        small = [rng.randn(96, 192).astype(np.float32) for _ in range(3)]
         svs, metrics = batched_spectral_metrics_padded(small)
         assert _batched_spectra_dynamic._cache_size() == before
         # Numerics are unchanged by the oversized padding.
         host = get_spectral_metrics(small[0])
-        assert len(svs[0]) == 32
+        assert len(svs[0]) == 96
         for key, hv in host.items():
             assert metrics[0][key] == pytest.approx(hv, rel=5e-3, abs=1e-4)
+        # A far smaller model (volume ratio >> 8) gets a fresh program.
+        tiny = [rng.randn(32, 128).astype(np.float32) for _ in range(3)]
+        svs_t, metrics_t = batched_spectral_metrics_padded(tiny)
+        assert _batched_spectra_dynamic._cache_size() == before + 1
+        host_t = get_spectral_metrics(tiny[0])
+        assert len(svs_t[0]) == 32
+        for key, hv in host_t.items():
+            assert metrics_t[0][key] == pytest.approx(hv, rel=5e-3, abs=1e-4)
 
     def test_bucket_ladder(self):
         from vision_spectra_tpu.spectral import bucket_dim

@@ -61,6 +61,23 @@ class TestFluent:
         assert (art / "spectral/plots/plot.txt").read_text() == "hello"
         assert (art / "spectral/json/epoch_0000.json").exists()
 
+    def test_delete_artifact(self, tmp_path):
+        tracking.set_experiment("exp3b")
+        src = tmp_path / "epoch_0001.msgpack"
+        src.write_text("ckpt")
+        with tracking.start_run() as info:
+            tracking.log_artifact(src, artifact_path="checkpoints")
+            store = tracking.FileStore(tracking.get_tracking_uri())
+            art = store.artifact_dir(info)
+            assert (art / "checkpoints/epoch_0001.msgpack").exists()
+            tracking.delete_artifact("checkpoints/epoch_0001.msgpack")
+            assert not (art / "checkpoints/epoch_0001.msgpack").exists()
+            # no-op on a missing file
+            tracking.delete_artifact("checkpoints/never_there.msgpack")
+            # escaping the run's artifact dir is rejected
+            with pytest.raises(ValueError):
+                tracking.delete_artifact("../meta.yaml")
+
     def test_search_runs(self):
         tracking.set_experiment("scan")
         with tracking.start_run(run_name="seed_42"):

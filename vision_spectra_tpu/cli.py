@@ -46,6 +46,7 @@ def _build_config(
     from vision_spectra_tpu.core.runtime import apply_platform
 
     if config_path:
+        _warn_ignored_flags()
         cfg = ExperimentConfig.from_yaml(config_path)
         apply_platform(cfg.device)
         return cfg
@@ -78,6 +79,28 @@ def _build_config(
     if aug_mode is not None:
         cfg.dataset.aug_mode = aug_mode
     return cfg
+
+
+def _warn_ignored_flags() -> None:
+    """With ``-c`` the YAML is used exclusively (reference cli.py:98-114);
+    tell the user which explicitly-passed flags were therefore dropped."""
+    ctx = click.get_current_context(silent=True)
+    if ctx is None:
+        return
+    ignored = []
+    for param in ctx.command.params:
+        if param.name == "config_path":
+            continue
+        src = ctx.get_parameter_source(param.name)
+        if src is not None and src.name == "COMMANDLINE":
+            opt = max(param.opts, key=len) if param.opts else param.name
+            ignored.append(opt)
+    if ignored:
+        click.echo(
+            f"Warning: --config is exclusive; ignoring {', '.join(ignored)} "
+            "(set these fields in the YAML instead)",
+            err=True,
+        )
 
 
 def _prepare(cfg):

@@ -15,7 +15,16 @@ import contextlib
 import os
 from pathlib import Path
 
-__all__ = ["apply_platform", "enable_compilation_cache", "trace"]
+__all__ = ["apply_platform", "enable_compilation_cache", "env_flag", "trace"]
+
+
+def env_flag(name: str) -> bool:
+    """True iff the env var is set to a truthy value ('1'/'true'/'yes'/'on').
+
+    Kill switches must not trigger on ``FLAG=0`` — a non-empty-but-falsy
+    value means "explicitly off".
+    """
+    return os.environ.get(name, "").strip().lower() in {"1", "true", "yes", "on"}
 
 
 def apply_platform(device: str | None = None) -> None:
@@ -56,7 +65,7 @@ def enable_compilation_cache(cache_dir: Path | str | None = None) -> None:
 
     Disable with ``VISION_SPECTRA_NO_COMPILATION_CACHE=1``.
     """
-    if os.environ.get("VISION_SPECTRA_NO_COMPILATION_CACHE") == "1":
+    if env_flag("VISION_SPECTRA_NO_COMPILATION_CACHE"):
         return
     import jax
 

@@ -34,7 +34,6 @@ augmentation.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +50,9 @@ GROUP_CANDIDATES = (8, 4, 2, 1)
 
 def use_pallas_warp(shape: tuple[int, ...]) -> bool:
     """Whether the Pallas augmentation kernel should serve this batch."""
-    if os.environ.get("VST_NO_PALLAS_WARP"):
+    from vision_spectra_tpu.core.runtime import env_flag
+
+    if env_flag("VST_NO_PALLAS_WARP"):
         return False
     b, h, w, c = shape
     # VMEM budget: weight matrices are [H, H*W] and [W, H*W] f32; 64 px

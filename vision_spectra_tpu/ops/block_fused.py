@@ -43,7 +43,6 @@ the intra-block residual in f32 and rounds once at the block boundary
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -98,8 +97,10 @@ def kernel_serves(rows: int, n_tokens: int, embed_dim: int = 192) -> bool:
     callers forcing the kernel (tests, ``use_fused_blocks=True``) check
     only this.
     """
+    from vision_spectra_tpu.core.runtime import env_flag
+
     return (
-        not os.environ.get("VST_NO_FUSED_BLOCK")
+        not env_flag("VST_NO_FUSED_BLOCK")
         and embed_dim <= MAX_EMBED_DIM
         and select_tile(rows, n_tokens) is not None
     )

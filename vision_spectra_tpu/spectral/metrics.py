@@ -446,16 +446,28 @@ def _pad_stack(mats: tuple, target: tuple, batch: int):
 # Padded-target high-water marks seen this process. A later snapshot whose
 # matrices fit inside an earlier (batch, tm, tn) triple reuses that triple —
 # and therefore the already-compiled SVD program — instead of compiling a
-# fresh one per model size (e.g. the A/D/E sweep over 192d/96d/32d models
-# compiles one SVD for the 192d model and reuses it for the rest).
+# fresh one per model size, as long as the padding overhead stays bounded
+# (see _COVER_VOLUME_RATIO below; far-smaller models compile their own
+# program once — the persistent compile cache amortizes it across runs).
 _SEEN_TARGETS: list[tuple[int, int, int]] = []
 
 
+# Reuse a covering high-water triple only while its padded volume is within
+# this factor of the requested one: beyond it the per-snapshot SVD runtime on
+# the inflated program costs more than the one-off ~20 s compile it saves
+# (e.g. a small-model sweep after one large-model snapshot).
+_COVER_VOLUME_RATIO = 8
+
+
 def _covering_target(batch: int, tm: int, tn: int) -> tuple[int, int, int]:
+    vol = batch * tm * tn
     covering = [
         t
         for t in _SEEN_TARGETS
-        if t[0] >= batch and t[1] >= tm and t[2] >= tn
+        if t[0] >= batch
+        and t[1] >= tm
+        and t[2] >= tn
+        and t[0] * t[1] * t[2] <= _COVER_VOLUME_RATIO * vol
     ]
     if covering:
         return min(covering, key=lambda t: t[0] * t[1] * t[2])

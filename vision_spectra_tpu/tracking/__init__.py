@@ -167,6 +167,22 @@ def log_artifact(local_path, artifact_path: str | None = None) -> None:
         shutil.copy2(local_path, dst / local_path.name)
 
 
+def delete_artifact(artifact_file: str) -> None:
+    """Delete one artifact file from the active run (no-op if absent).
+
+    ``artifact_file`` is the run-relative artifact path, e.g.
+    ``checkpoints/epoch_0010.msgpack``. The public counterpart of
+    :func:`log_artifact` — used by checkpoint retention (``keep_top_k``).
+    """
+    info = _require_run()
+    rel = Path(artifact_file)
+    base = _store().artifact_dir(info)
+    target = (base / rel).resolve()
+    if base.resolve() not in target.parents:
+        raise ValueError(f"artifact path escapes the run: {artifact_file!r}")
+    target.unlink(missing_ok=True)
+
+
 def log_artifacts(local_dir, artifact_path: str | None = None) -> None:
     info = _require_run()
     dst = _store().artifact_dir(info, artifact_path)

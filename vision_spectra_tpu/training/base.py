@@ -438,13 +438,9 @@ class BaseTrainer:
         if name.startswith("epoch_"):
             self._periodic_ckpts.append(f"{name}{CHECKPOINT_SUFFIX}")
             keep = self.config.training.keep_top_k
-            run = tracking.active_run()
-            while len(self._periodic_ckpts) > keep and run is not None:
+            while len(self._periodic_ckpts) > keep and tracking.active_run():
                 stale = self._periodic_ckpts.pop(0)
-                stale_path = (
-                    tracking._store().artifact_dir(run, "checkpoints") / stale
-                )
-                stale_path.unlink(missing_ok=True)
+                tracking.delete_artifact(f"checkpoints/{stale}")
 
     def load_checkpoint(self, path: Path | str) -> dict[str, Any]:
         """Restore full train state from a checkpoint (base.py:596-608)."""

@@ -33,32 +33,67 @@ def _is_device_array(x: Any) -> bool:
     return isinstance(x, jax.Array)
 
 
+def _pack_sharded_group(leaves: list, idxs: list[int], out: list) -> None:
+    """All-gather + concatenate same-sharding/same-dtype mesh leaves on
+    device, then download the group as ONE contiguous array.
+
+    The shardings are homogeneous within the group, so the jitted
+    concatenate lowers to one clean all-gather program (heterogeneous
+    shardings are what made ad-hoc out-of-jit concats abort on virtual CPU
+    meshes — those stay on the per-leaf path).
+    """
+    mesh = leaves[idxs[0]].sharding.mesh
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    group = [leaves[i] for i in idxs]
+    packed = np.asarray(
+        jax.jit(
+            lambda *xs: jnp.concatenate(
+                [jnp.reshape(x, (max(1, x.size),)) for x in xs]
+            ),
+            out_shardings=rep,
+        )(*group)
+    )  # one fetch
+    offset = 0
+    for i, leaf in zip(idxs, group):
+        size = max(1, leaf.size)
+        chunk = packed[offset : offset + size]
+        out[i] = np.asarray(chunk[: leaf.size]).reshape(leaf.shape)
+        offset += size
+
+
 def fetch_pytree(tree: Any) -> Any:
     """Copy a pytree to host numpy using one transfer per dtype group.
 
-    Arrays sharded across more than one device are fetched per-leaf via
-    ``jax.device_get`` instead: concatenating leaves with heterogeneous
-    shardings outside jit forces ad-hoc XLA reshard programs (observed to
-    abort sporadically on virtual CPU meshes), and on a multi-chip mesh the
-    fetch is per-shard anyway, so packing buys nothing there.
+    Single-device leaves are packed per dtype. Mesh-sharded leaves are
+    packed per (sharding, dtype) group — homogeneous shardings concatenate
+    into one replicated buffer on device (one all-gather, one download);
+    leaves whose sharding is unique in the tree fall back to per-leaf
+    ``jax.device_get``.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     device_idx = []
+    sharded_groups: dict[Any, list[int]] = {}
     for i, leaf in enumerate(leaves):
         if not _is_device_array(leaf):
             continue
         if len(leaf.sharding.device_set) > 1:
-            if leaf.ndim == 0:
-                # Never fetch a 0-d array (pathological slow path on
-                # tunneled attachments); 0-d leaves are always replicated,
-                # so the reshape is free.
-                leaves[i] = np.asarray(
-                    jax.device_get(jnp.reshape(leaf, (1,)))
-                ).reshape(())
-            else:
-                leaves[i] = np.asarray(jax.device_get(leaf))
+            sharded_groups.setdefault((leaf.sharding, leaf.dtype), []).append(i)
         else:
             device_idx.append(i)
+    for (_, _), idxs in sharded_groups.items():
+        if len(idxs) > 1:
+            _pack_sharded_group(leaves, idxs, leaves)
+            continue
+        leaf = leaves[idxs[0]]
+        if leaf.ndim == 0:
+            # Never fetch a 0-d array (pathological slow path on tunneled
+            # attachments); 0-d leaves are always replicated, so the
+            # reshape is free.
+            leaves[idxs[0]] = np.asarray(
+                jax.device_get(jnp.reshape(leaf, (1,)))
+            ).reshape(())
+        else:
+            leaves[idxs[0]] = np.asarray(jax.device_get(leaf))
     if not device_idx:
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
