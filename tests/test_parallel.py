@@ -127,65 +127,74 @@ def test_dp_matches_single_device(model_and_state):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+def _mesh_config(tmp_path, data_axis, model_axis, name, spectral=True):
+    from vision_spectra_tpu.config import (
+        DatasetConfig,
+        DatasetName,
+        ExperimentConfig,
+        ModelConfig,
+        OptimizerConfig,
+        ParallelConfig,
+        SpectralConfig,
+        TrainingConfig,
+    )
+
+    return ExperimentConfig(
+        name=name,
+        seed=7,
+        dataset=DatasetConfig(
+            name=DatasetName.SYNTHETIC,
+            batch_size=8,
+            num_classes=3,
+            num_samples_train=48,
+            num_samples_val=16,
+            num_samples_test=16,
+        ),
+        model=ModelConfig(
+            name="vit_tiny_patch4_28", embed_dim=32, depth=1,
+            drop_path_rate=0.0,
+        ),
+        training=TrainingConfig(epochs=2, smoke_test=False,
+                                early_stopping=False,
+                                save_every_n_epochs=2),
+        optimizer=OptimizerConfig(warmup_epochs=1),
+        spectral=SpectralConfig(enabled=spectral, log_every_n_epochs=1,
+                                extract_mlp=False),
+        parallel=ParallelConfig(data_axis=data_axis, model_axis=model_axis),
+        output_dir=tmp_path / f"mlruns_{name}",
+        data_dir=tmp_path / "data",
+    )
+
+
+def _run_trainer(cfg, trainer_cls=None):
+    from vision_spectra_tpu.data import get_dataset
+    from vision_spectra_tpu.losses import get_loss
+    from vision_spectra_tpu.models import build_vit
+    from vision_spectra_tpu.training import ClassificationTrainer
+
+    trainer_cls = trainer_cls or ClassificationTrainer
+    ds = get_dataset(cfg.dataset, cfg.data_dir)
+    info = ds.get_info()
+    model, _ = build_vit(
+        cfg.model.name, num_classes=info.num_classes,
+        num_channels=info.num_channels, image_size=info.image_size[0],
+        embed_dim=cfg.model.embed_dim, depth=cfg.model.depth,
+        drop_path_rate=0.0,
+    )
+    trainer = trainer_cls(cfg, model, ds, get_loss(cfg.loss))
+    hist = trainer.train()
+    return trainer, hist
+
+
 class TestTrainerOnMesh:
     """The FULL trainer (tracking, spectral snapshots, checkpoints) runs on
     the virtual 8-device mesh via ParallelConfig — VERDICT r1 item 2."""
 
     def _config(self, tmp_path, data_axis, model_axis, name):
-        from vision_spectra_tpu.config import (
-            DatasetConfig,
-            DatasetName,
-            ExperimentConfig,
-            ModelConfig,
-            OptimizerConfig,
-            ParallelConfig,
-            SpectralConfig,
-            TrainingConfig,
-        )
-
-        return ExperimentConfig(
-            name=name,
-            seed=7,
-            dataset=DatasetConfig(
-                name=DatasetName.SYNTHETIC,
-                batch_size=8,
-                num_classes=3,
-                num_samples_train=48,
-                num_samples_val=16,
-                num_samples_test=16,
-            ),
-            model=ModelConfig(
-                name="vit_tiny_patch4_28", embed_dim=32, depth=1,
-                drop_path_rate=0.0,
-            ),
-            training=TrainingConfig(epochs=2, smoke_test=False,
-                                    early_stopping=False,
-                                    save_every_n_epochs=2),
-            optimizer=OptimizerConfig(warmup_epochs=1),
-            spectral=SpectralConfig(enabled=True, log_every_n_epochs=1,
-                                    extract_mlp=False),
-            parallel=ParallelConfig(data_axis=data_axis, model_axis=model_axis),
-            output_dir=tmp_path / f"mlruns_{name}",
-            data_dir=tmp_path / "data",
-        )
+        return _mesh_config(tmp_path, data_axis, model_axis, name)
 
     def _run(self, cfg):
-        from vision_spectra_tpu.data import get_dataset
-        from vision_spectra_tpu.losses import get_loss
-        from vision_spectra_tpu.models import build_vit
-        from vision_spectra_tpu.training import ClassificationTrainer
-
-        ds = get_dataset(cfg.dataset, cfg.data_dir)
-        info = ds.get_info()
-        model, _ = build_vit(
-            cfg.model.name, num_classes=info.num_classes,
-            num_channels=info.num_channels, image_size=info.image_size[0],
-            embed_dim=cfg.model.embed_dim, depth=cfg.model.depth,
-            drop_path_rate=0.0,
-        )
-        trainer = ClassificationTrainer(cfg, model, ds, get_loss(cfg.loss))
-        hist = trainer.train()
-        return trainer, hist
+        return _run_trainer(cfg)
 
     def test_full_trainer_dp4_tp2(self, tmp_path):
         cfg = self._config(tmp_path, data_axis=4, model_axis=2, name="mesh42")
@@ -221,6 +230,67 @@ class TestTrainerOnMesh:
         cfg.dataset.batch_size = 6  # not divisible by 8
         with pytest.raises(ValueError, match="divisible"):
             self._run(cfg)
+
+
+class TestFusedTrainerOnMesh:
+    """The fused-epoch (lax.scan whole-epoch) trainers — the framework's
+    headline execution mode — run data-parallel on the 8-device mesh and
+    agree with their single-device runs (VERDICT r1 item 1a)."""
+
+    def test_fused_cls_dp8_matches_single_device(self, tmp_path):
+        from vision_spectra_tpu.training.fused import FusedClassificationTrainer
+
+        cfg_mesh = _mesh_config(tmp_path, -1, 1, "fused_dp8", spectral=False)
+        cfg_one = _mesh_config(tmp_path, 1, 1, "fused_one", spectral=False)
+        t1, h1 = _run_trainer(cfg_mesh, FusedClassificationTrainer)
+        assert t1.mesh is not None and t1.mesh.shape["data"] == 8
+        assert t1.global_step == 12  # 2 epochs x 6 fused steps
+        t2, h2 = _run_trainer(cfg_one, FusedClassificationTrainer)
+        assert t2.mesh is None
+        # Same keys, same permutation, same per-step LR array — only the
+        # f32 all-reduce ordering differs across the 8-way split.
+        assert h1["loss"] == pytest.approx(h2["loss"], rel=1e-3)
+        assert h1["accuracy"] == pytest.approx(h2["accuracy"], abs=1 / 48 + 1e-6)
+        assert h1["val_accuracy"] == pytest.approx(h2["val_accuracy"], abs=1e-6)
+        t1.cleanup()
+        t2.cleanup()
+
+    def test_fused_cls_on_dp4_tp2(self, tmp_path):
+        """Fused epochs compose with tensor parallelism (state sharded over
+        the model axis; the scanned batches shard over data)."""
+        from vision_spectra_tpu.training.fused import FusedClassificationTrainer
+
+        cfg = _mesh_config(tmp_path, 4, 2, "fused_dp4tp2", spectral=False)
+        trainer, hist = _run_trainer(cfg, FusedClassificationTrainer)
+        assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+        assert np.isfinite(hist["loss"])
+        assert trainer.global_step == 12
+        trainer.cleanup()
+
+    def test_fused_mim_on_mesh(self, tmp_path):
+        from vision_spectra_tpu.models import MIMModel, build_vit
+        from vision_spectra_tpu.data import get_dataset
+        from vision_spectra_tpu.training.fused import FusedMIMTrainer
+
+        cfg = _mesh_config(tmp_path, -1, 1, "fused_mim_dp8", spectral=False)
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        info = ds.get_info()
+        encoder, _ = build_vit(
+            cfg.model.name, num_classes=info.num_classes,
+            num_channels=info.num_channels, image_size=info.image_size[0],
+            embed_dim=cfg.model.embed_dim, depth=cfg.model.depth,
+            drop_path_rate=0.0,
+        )
+        model = MIMModel(
+            encoder=encoder, decoder_embed_dim=32, decoder_depth=1,
+            decoder_num_heads=2, mask_ratio=0.5,
+        )
+        trainer = FusedMIMTrainer(cfg, model, ds)
+        assert trainer.mesh is not None and trainer.mesh.shape["data"] == 8
+        hist = trainer.train()
+        assert np.isfinite(hist["loss"]) and hist["loss"] > 0
+        assert trainer.global_step == 12
+        trainer.cleanup()
 
 
 def test_fetch_pytree_packs_same_sharding_group():
