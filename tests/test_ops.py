@@ -147,6 +147,68 @@ class TestFlashBackward:
             assert not spy.called
 
 
+class TestFlashConfigPath:
+    """Config-driven flash selection (VERDICT r1 item 4): a ModelConfig with
+    ``use_flash`` builds a model whose attention actually dispatches the
+    flash kernel at a long-sequence geometry."""
+
+    def test_config_drives_dispatch(self):
+        import unittest.mock as mock
+
+        from vision_spectra_tpu.config import ModelConfig
+        from vision_spectra_tpu.models import create_vit_classifier
+
+        cfg = ModelConfig(
+            name="vit_tiny_patch4_224", use_flash=True, drop_path_rate=0.0,
+            embed_dim=32, depth=1, num_heads=2,
+        )
+        # img 128 / patch 4 -> 1024 patches + CLS = 1025 tokens >= gate.
+        model, desc = create_vit_classifier(cfg, num_classes=3, image_size=128)
+        assert model.use_flash is True
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        params = model.init(jax.random.key(0), x)
+
+        def fake_flash(q, k, v, *, scale=None, **kw):
+            fake_flash.called = True
+            return jnp.zeros_like(q)
+
+        fake_flash.called = False
+        with mock.patch(
+            "vision_spectra_tpu.ops.flash_attention.flash_mha", fake_flash
+        ):
+            model.apply(params, x, deterministic=True)
+        assert fake_flash.called
+
+    def test_auto_resolution(self):
+        from vision_spectra_tpu.models import resolve_use_flash
+
+        # On the CPU test backend auto stays off (interpret-mode Pallas would
+        # be a pure slowdown); explicit values pass through.
+        assert resolve_use_flash(None) == (jax.default_backend() == "tpu")
+        assert resolve_use_flash(True) is True
+        assert resolve_use_flash(False) is False
+
+    def test_short_sequences_keep_xla(self):
+        import unittest.mock as mock
+
+        from vision_spectra_tpu.config import ModelConfig
+        from vision_spectra_tpu.models import create_vit_classifier
+
+        cfg = ModelConfig(
+            name="vit_tiny_patch16_224", use_flash=True, drop_path_rate=0.0,
+            embed_dim=32, depth=1, num_heads=2,
+        )
+        model, _ = create_vit_classifier(cfg, num_classes=3, image_size=28)
+        x = jnp.zeros((2, 28, 28, 3), jnp.float32)
+        params = model.init(jax.random.key(0), x)
+        with mock.patch(
+            "vision_spectra_tpu.ops.flash_attention.flash_mha"
+        ) as spy:
+            out = model.apply(params, x, deterministic=True)
+        assert not spy.called
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestAugWarpKernel:
     """Pallas fused augmentation kernel vs the XLA transform paths.
 

@@ -232,6 +232,136 @@ class TestTrainerOnMesh:
             self._run(cfg)
 
 
+class TestFusedBlocksOnMesh:
+    """The fused whole-block Pallas kernel runs per-shard under shard_map on
+    a data-parallel mesh (VERDICT r1 item 1c) — forward and gradients match
+    the XLA path, and the kernel is genuinely dispatched (counted)."""
+
+    def _models(self, mesh):
+        from vision_spectra_tpu.models import build_vit
+        from vision_spectra_tpu.parallel.mesh import inject_mesh
+
+        kw = dict(num_classes=5, embed_dim=32, depth=2, num_heads=2)
+        m_x, _ = build_vit("vit_tiny_patch4_28", use_fused_blocks=False, **kw)
+        m_f, _ = build_vit("vit_tiny_patch4_28", use_fused_blocks=True, **kw)
+        m_f = inject_mesh(m_f, mesh)
+        assert m_f.mesh is mesh
+        return m_x, m_f
+
+    def _count_kernel_calls(self, monkeypatch):
+        from vision_spectra_tpu.ops import block_fused
+
+        calls = {"n": 0}
+        orig = block_fused.fused_vit_block
+
+        def counting(*args, **kwargs):
+            calls["n"] += 1
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(block_fused, "fused_vit_block", counting)
+        return calls
+
+    def test_forward_and_grad_parity_dp8(self, monkeypatch):
+        mesh = make_mesh()  # 8-way data parallel
+        m_x, m_f = self._models(mesh)
+        rng = np.random.RandomState(0)
+        # b=16 images x 50 tokens -> 800 rows; 100 rows/shard (tile 2x50).
+        x = jnp.asarray(rng.randn(16, 28, 28, 3).astype(np.float32))
+        params = m_x.init(jax.random.key(0), x[:2])["params"]
+        calls = self._count_kernel_calls(monkeypatch)
+
+        def loss(m):
+            return lambda p: jnp.mean(
+                m.apply({"params": p}, x, deterministic=True) ** 2
+            )
+
+        ax, gx = jax.value_and_grad(loss(m_x))(params)
+        af, gf = jax.value_and_grad(loss(m_f))(params)
+        assert calls["n"] == 2, "fused kernel not dispatched under shard_map"
+        assert float(af) == pytest.approx(float(ax), rel=0.02)
+        for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            # bf16 kernel matmuls vs f32 XLA path; the shard_map transpose
+            # must still psum the weight grads over the data axis — a missing
+            # psum would be off by ~8x, far outside this tolerance.
+            assert np.abs(a - b).max() <= 0.05 * (np.abs(a).max() + 1e-6)
+
+    def test_geometry_fallback_on_mesh(self, monkeypatch):
+        """Per-SHARD rows gate the kernel: a batch whose local rows don't
+        tile falls back to XLA instead of crashing."""
+        mesh = make_mesh()
+        _, m_f = self._models(mesh)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(12, 28, 28, 3).astype(np.float32))
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+        calls = self._count_kernel_calls(monkeypatch)
+        out = m_f.apply({"params": params}, x, deterministic=True)
+        # 12*50 rows / 8 shards = 75 rows/shard, not a multiple of 50.
+        assert calls["n"] == 0
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_tp_mesh_keeps_xla_path(self, monkeypatch):
+        """Tensor-parallel meshes shard the block weights — fused kernel
+        must not engage."""
+        mesh = make_mesh(model_axis=2)
+        _, m_f = self._models(mesh)
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(16, 28, 28, 3).astype(np.float32))
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+        calls = self._count_kernel_calls(monkeypatch)
+        out = m_f.apply({"params": params}, x, deterministic=True)
+        assert calls["n"] == 0
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestWarpAugmentOnMesh:
+    """The Pallas augmentation kernel runs per-shard under shard_map on the
+    mesh (interpret mode on CPU) and matches the unsharded dispatch."""
+
+    def _inputs(self, b=16, h=28, w=28, c=3, seed=0):
+        rng = np.random.RandomState(seed)
+        images = jnp.asarray(rng.randint(0, 256, (b, h, w, c), dtype=np.uint8))
+        base = np.tile(np.eye(2, 3, dtype=np.float32), (b, 1, 1))
+        mat1 = jnp.asarray(base + rng.uniform(-0.05, 0.05, (b, 2, 3)).astype(np.float32))
+        mat2 = jnp.asarray(base + rng.uniform(-0.05, 0.05, (b, 2, 3)).astype(np.float32))
+        factors = jnp.asarray(rng.uniform(0.9, 1.1, (b, 3)).astype(np.float32))
+        opcodes = jnp.asarray(
+            np.stack([rng.permutation(3) for _ in range(b)]).astype(np.float32)
+        )
+        return images, mat1, mat2, factors, opcodes
+
+    @pytest.mark.parametrize("bilinear", [False, True])
+    def test_sharded_matches_single_dispatch(self, bilinear):
+        from vision_spectra_tpu.ops.aug_warp import warp_augment
+
+        mesh = make_mesh()  # dp8
+        images, mat1, mat2, factors, opcodes = self._inputs()
+        mean = np.array([0.5, 0.5, 0.5], np.float32)
+        std = np.array([0.25, 0.25, 0.25], np.float32)
+        kw = dict(num_channels=3, bilinear=bilinear, interpret=True)
+        if bilinear:
+            mat2 = opcodes = None
+        ref = warp_augment(images, mat1, mat2, factors, opcodes, mean, std, **kw)
+        out = warp_augment(
+            images, mat1, mat2, factors, opcodes, mean, std, mesh=mesh, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_gate_requires_divisible_batch(self):
+        from vision_spectra_tpu.ops.aug_warp import use_pallas_warp
+
+        mesh = make_mesh()
+        # gate is backend-agnostic only in its geometry arm; on CPU it must
+        # always say no, and an indivisible batch must say no regardless.
+        assert not use_pallas_warp((12, 28, 28, 3), mesh)
+        assert not use_pallas_warp((16, 28, 28, 3), None) or (
+            jax.default_backend() == "tpu"
+        )
+
+
 class TestFusedTrainerOnMesh:
     """The fused-epoch (lax.scan whole-epoch) trainers — the framework's
     headline execution mode — run data-parallel on the 8-device mesh and

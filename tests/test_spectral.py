@@ -298,10 +298,16 @@ class TestPaddedDynamicMetrics:
         of paying an arbitrarily inflated SVD (covering volume capped at
         ~8x the requested one, ADVICE r1)."""
         from vision_spectra_tpu.spectral import get_spectral_metrics
+        from vision_spectra_tpu.spectral import metrics as sm
         from vision_spectra_tpu.spectral.metrics import (
             _batched_spectra_dynamic,
             batched_spectral_metrics_padded,
         )
+
+        # Hermetic: earlier tests register process-global high-water targets
+        # and jit entries that would change the covering decisions below.
+        sm._SEEN_TARGETS.clear()
+        _batched_spectra_dynamic.clear_cache()
 
         rng = np.random.RandomState(3)
         large = [rng.randn(96, 384).astype(np.float32) for _ in range(9)]

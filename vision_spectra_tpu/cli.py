@@ -38,6 +38,8 @@ def _build_config(
     data_axis=None,
     model_axis=None,
     aug_mode=None,
+    pretrained_path=None,
+    use_flash=None,
 ):
     """Config resolution matching the reference (cli.py:98-114): a ``-c``
     YAML is used AS-IS (the other CLI options are ignored — the reference's
@@ -78,6 +80,11 @@ def _build_config(
         cfg.parallel.model_axis = model_axis
     if aug_mode is not None:
         cfg.dataset.aug_mode = aug_mode
+    if pretrained_path is not None:
+        cfg.model.pretrained = True
+        cfg.model.pretrained_path = Path(pretrained_path)
+    if use_flash is not None:
+        cfg.model.use_flash = use_flash
     return cfg
 
 
@@ -119,6 +126,8 @@ def _prepare(cfg):
         if (cfg.training.mixed_precision and cfg.get_platform() == "tpu")
         else jnp.float32
     )
+    from vision_spectra_tpu.models.vit import resolve_use_flash
+
     encoder, desc = build_vit(
         cfg.model.name,
         num_classes=info.num_classes,
@@ -131,6 +140,7 @@ def _prepare(cfg):
         depth=cfg.model.depth,
         num_heads=cfg.model.num_heads,
         dtype=dtype,
+        use_flash=resolve_use_flash(cfg.model.use_flash),
     )
     return dataset, info, encoder, desc, dtype
 
@@ -140,6 +150,8 @@ def _prepare(cfg):
 
 def _common_options(defaults):
     def deco(f):
+        f = click.option("--use-flash/--no-use-flash", "use_flash", default=None, help="Flash (Pallas) attention; default auto (TPU + N>=1024)")(f)
+        f = click.option("--pretrained-path", default=None, type=click.Path(exists=True, path_type=Path), help="timm ViT state_dict (.pth/.npz) to import")(f)
         f = click.option("--model-axis", default=None, type=int, help="Tensor-parallel mesh axis size (default 1)")(f)
         f = click.option("--data-axis", default=None, type=int, help="Data-parallel mesh axis size (-1 = all devices)")(f)
         f = click.option("--aug-mode", default=None, type=click.Choice(["fused", "torchvision"]), help="Train augmentation semantics")(f)
@@ -178,7 +190,7 @@ def main() -> None:
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
               smoke_test, data_dir, output_dir, aug_mode, data_axis,
-              model_axis, loss, model):
+              model_axis, pretrained_path, use_flash, loss, model):
     """Train a ViT classifier (reference: cli.py:72-157)."""
     from vision_spectra_tpu.config import LossName
     from vision_spectra_tpu.losses import get_loss
@@ -189,7 +201,7 @@ def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
         batch_size=batch_size, lr=lr, seed=seed, device=device,
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
         model=model, loss=loss, data_axis=data_axis, model_axis=model_axis,
-        aug_mode=aug_mode,
+        aug_mode=aug_mode, pretrained_path=pretrained_path, use_flash=use_flash,
     )
     ds, info, encoder, desc, _ = _prepare(cfg)
     counts = (
@@ -210,7 +222,7 @@ def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_path,
                  smoke_test, data_dir, output_dir, aug_mode, data_axis,
-                 model_axis, mask_ratio, model):
+                 model_axis, pretrained_path, use_flash, mask_ratio, model):
     """MAE-style masked-image-modeling pretraining (reference: cli.py:160-244)."""
     from vision_spectra_tpu.models import MIMModel
     from vision_spectra_tpu.training import MIMTrainer
@@ -221,6 +233,7 @@ def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_pat
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
         model=model, mask_ratio=mask_ratio, data_axis=data_axis,
         model_axis=model_axis, aug_mode=aug_mode,
+        pretrained_path=pretrained_path, use_flash=use_flash,
     )
     ds, info, encoder, desc, dtype = _prepare(cfg)
     mim = MIMModel(
@@ -246,7 +259,8 @@ def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_pat
 @click.option("--encoder-lr-scale", default=0.1, help="Encoder LR scale for layer-wise LR")
 def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
              config_path, smoke_test, data_dir, output_dir, aug_mode,
-             data_axis, model_axis, loss, freeze_encoder, encoder_lr_scale):
+             data_axis, model_axis, pretrained_path, use_flash, loss,
+             freeze_encoder, encoder_lr_scale):
     """Finetune from a pretrained checkpoint (reference: cli.py:247-338)."""
     from vision_spectra_tpu.losses import get_loss
     from vision_spectra_tpu.training import FinetuneTrainer
@@ -257,7 +271,7 @@ def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
         batch_size=batch_size, lr=lr, seed=seed, device=device,
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
         loss=loss, data_axis=data_axis, model_axis=model_axis,
-        aug_mode=aug_mode,
+        aug_mode=aug_mode, pretrained_path=pretrained_path, use_flash=use_flash,
     )
     # Read the model architecture out of the saved checkpoint config.
     ckpt = load_checkpoint(checkpoint)
@@ -290,7 +304,8 @@ def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def train_mtl(dataset, epochs, batch_size, lr, seed, device, name, config_path,
               smoke_test, data_dir, output_dir, aug_mode, data_axis,
-              model_axis, loss, cls_weight, mim_weight, mask_ratio, model):
+              model_axis, pretrained_path, use_flash, loss, cls_weight,
+              mim_weight, mask_ratio, model):
     """Multitask classification + MIM training (reference: cli.py:341-444)."""
     from vision_spectra_tpu.losses import get_loss
     from vision_spectra_tpu.models import MultitaskViT
@@ -303,6 +318,7 @@ def train_mtl(dataset, epochs, batch_size, lr, seed, device, name, config_path,
         model=model, loss=loss, mask_ratio=mask_ratio,
         cls_weight=cls_weight, mim_weight=mim_weight,
         data_axis=data_axis, model_axis=model_axis, aug_mode=aug_mode,
+        pretrained_path=pretrained_path, use_flash=use_flash,
     )
     ds, info, encoder, desc, dtype = _prepare(cfg)
     mtl = MultitaskViT(

@@ -130,10 +130,24 @@ class ModelConfig(BaseModel):
     """
 
     name: str = Field(default="vit_tiny_patch16_224")
-    pretrained: bool = Field(default=False, description="No pretrained zoo; must be False")
+    # The reference pulls pretrained weights from timm's zoo (settings.py:128);
+    # this environment has no egress, so the source is a FILE: a torch
+    # state_dict (.pth) or .npz in timm's key layout, imported by
+    # models/pretrained.py. ``pretrained=True`` requires ``pretrained_path``
+    # (or VISION_SPECTRA_PRETRAINED_PATH); giving a path alone also loads.
+    pretrained: bool = Field(default=False)
+    pretrained_path: Path | None = Field(
+        default=None, description="timm ViT state_dict file (.pth/.npz)"
+    )
     drop_rate: float = Field(default=0.0, ge=0, le=1)
     attn_drop_rate: float = Field(default=0.0, ge=0, le=1)
     drop_path_rate: float = Field(default=0.1, ge=0, le=1)
+    # Flash (blockwise Pallas) attention: None = auto — engages whenever the
+    # runtime gate is profitable (TPU, N >= 1024 tokens, no active attention
+    # dropout; ops/attention.py), which no 28-px geometry reaches but large
+    # image/patch combinations do. True forces the gate's use_flash input on,
+    # False keeps plain XLA attention everywhere.
+    use_flash: bool | None = Field(default=None)
 
     # Expressivity overrides (None = variant default)
     embed_dim: int | None = Field(default=None, gt=0)

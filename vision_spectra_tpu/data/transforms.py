@@ -453,9 +453,9 @@ def _nearest_sample_from_coords(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("num_channels",))
+@functools.partial(jax.jit, static_argnames=("num_channels", "mesh"))
 def train_augment_ref(
-    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3, mesh=None
 ) -> jnp.ndarray:
     """Reference-faithful train augmentation (torchvision two-pass semantics).
 
@@ -485,12 +485,12 @@ def train_augment_ref(
 
     from vision_spectra_tpu.ops.aug_warp import use_pallas_warp, warp_augment
 
-    if use_pallas_warp(images.shape):
+    if use_pallas_warp(images.shape, mesh):
         factors, opcodes = _jitter_params(k_color, b, num_channels)
         mean, std = _stats(num_channels)
         return warp_augment(
             images, rot, aff, factors, opcodes, mean, std,
-            num_channels=num_channels, bilinear=False,
+            num_channels=num_channels, bilinear=False, mesh=mesh,
         )
 
     x = images.astype(jnp.float32) / 255.0
@@ -515,9 +515,9 @@ def _train_augment_ref_twopass(
     return (x - mean) / std
 
 
-@functools.partial(jax.jit, static_argnames=("num_channels",))
+@functools.partial(jax.jit, static_argnames=("num_channels", "mesh"))
 def train_augment(
-    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3, mesh=None
 ) -> jnp.ndarray:
     """Full train-time augmentation: warp + color jitter + normalize.
 
@@ -531,12 +531,12 @@ def train_augment(
 
     from vision_spectra_tpu.ops.aug_warp import use_pallas_warp, warp_augment
 
-    if use_pallas_warp(images.shape):
+    if use_pallas_warp(images.shape, mesh):
         fb, fc, fs = _jitter_factors(k_color, b)
         mean, std = _stats(num_channels)
         return warp_augment(
             images, inv, None, jnp.stack([fb, fc, fs], axis=1), None,
-            mean, std, num_channels=num_channels, bilinear=True,
+            mean, std, num_channels=num_channels, bilinear=True, mesh=mesh,
         )
 
     x = images.astype(jnp.float32) / 255.0
@@ -566,13 +566,22 @@ def eval_transform(images: jnp.ndarray, num_channels: int = 3) -> jnp.ndarray:
 
 
 def make_augment_fn(
-    num_channels: int, mode: str = "train"
+    num_channels: int, mode: str = "train", mesh=None
 ) -> Callable[[jnp.ndarray, jax.Array], jnp.ndarray]:
-    """Factory returning the right (images, key) -> images function."""
+    """Factory returning the right (images, key) -> images function.
+
+    ``mesh`` (optional) lets the train-time Pallas warp kernel run per-shard
+    under ``shard_map`` on multi-device meshes; the random parameter draws
+    keep global-batch semantics either way.
+    """
     if mode == "train":
-        return functools.partial(train_augment, num_channels=num_channels)
+        return functools.partial(
+            train_augment, num_channels=num_channels, mesh=mesh
+        )
     if mode == "train_ref":
-        return functools.partial(train_augment_ref, num_channels=num_channels)
+        return functools.partial(
+            train_augment_ref, num_channels=num_channels, mesh=mesh
+        )
     if mode == "mim":
         return functools.partial(mim_augment, num_channels=num_channels)
     if mode == "eval":

@@ -18,6 +18,7 @@ from vision_spectra_tpu.models.vit import (
     create_vit_classifier,
     get_available_models,
     parse_model_name,
+    resolve_use_flash,
 )
 
 __all__ = [
@@ -35,5 +36,6 @@ __all__ = [
     "parse_model_name",
     "patchify",
     "random_masking",
+    "resolve_use_flash",
     "unpatchify",
 ]

@@ -268,10 +268,17 @@ class ViTClassifier(nn.Module):
     drop_path_rate: float = 0.1
     dtype: Any = jnp.float32
     use_flash: bool = False
-    # None = auto: fused block kernel on single-chip TPU when the geometry
-    # allows (N == 2 tokens, rows divisible by the kernel tile, no dropout).
+    # None = auto: fused block kernel on TPU when the geometry allows
+    # (N == 2 tokens, rows divisible by the kernel tile, no dropout).
     # True forces it (interpret mode off-TPU, for tests); False disables.
     use_fused_blocks: bool | None = None
+    # Device mesh for multi-chip runs (injected by the trainer via
+    # parallel.mesh.inject_mesh). With a pure data-parallel mesh the fused
+    # block kernel runs per-shard under jax.shard_map — rows split over the
+    # data axis, weights replicated, weight-gradient psum inserted by the
+    # shard_map transpose. Tensor-parallel meshes (model axis > 1) shard the
+    # block weights, so they keep the XLA path.
+    mesh: Any = None
 
     @property
     def num_patches(self) -> int:
@@ -345,24 +352,36 @@ class ViTClassifier(nn.Module):
     def _fused_blocks_active(self, x: jnp.ndarray) -> bool:
         """Whether to run blocks through the fused Pallas kernel.
 
-        Auto mode (``use_fused_blocks=None``) enables it on single-chip TPU
-        only — the kernel is not GSPMD-partitionable, so multi-device meshes
-        keep the XLA path. Requires the pair-attention geometry (2 tokens)
-        and zero dropout (drop-path is handled via masks).
+        Auto mode (``use_fused_blocks=None``) enables it on TPU — directly
+        on a single chip, or per-shard under ``shard_map`` when a pure
+        data-parallel mesh was injected (``self.mesh``); pallas_call is not
+        GSPMD-partitionable, so an un-meshed multi-device process keeps the
+        XLA path. Requires a served geometry and zero dropout (drop-path is
+        handled via masks). The geometry gate checks PER-SHARD rows on a
+        mesh.
         """
         if self.use_fused_blocks is False or self.is_initializing():
             return False
         if self.drop_rate != 0.0 or self.attn_drop_rate != 0.0:
             return False
-        from vision_spectra_tpu.ops.block_fused import (
-            kernel_serves,
-            use_fused_block,
-        )
+        from vision_spectra_tpu.ops.block_fused import kernel_serves
 
         b, n, _ = x.shape
-        if self.use_fused_blocks is None:  # auto: single-chip TPU only
-            return use_fused_block(b * n, n, self.embed_dim)
-        return kernel_serves(b * n, n, self.embed_dim)  # forced (tests)
+        rows = b * n
+        if self.mesh is not None:
+            from vision_spectra_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            if self.mesh.shape[MODEL_AXIS] > 1:
+                return False  # TP shards the block weights: XLA path
+            data = self.mesh.shape[DATA_AXIS]
+            if rows % data:
+                return False
+            rows //= data  # the kernel runs on per-shard rows
+        elif self.use_fused_blocks is None and jax.device_count() > 1:
+            return False  # multi-device without a mesh: GSPMD, XLA path
+        if self.use_fused_blocks is None and jax.default_backend() != "tpu":
+            return False  # auto engages on TPU only; True forces (tests)
+        return kernel_serves(rows, n, self.embed_dim)
 
     def _encode_fused(
         self, x: jnp.ndarray, deterministic: bool = True
@@ -372,7 +391,13 @@ class ViTClassifier(nn.Module):
         Reads the already-materialized block params from ``self.variables``
         (identical pytree to the XLA path — checkpoints, spectral extraction
         and TP sharding rules are unaffected) and threads drop-path masks
-        explicitly.
+        explicitly (sampled OUTSIDE any shard_map so RNG semantics match the
+        single-device program bit-for-bit).
+
+        On a data-parallel mesh the whole block stack runs per-shard under
+        ``jax.shard_map``: rows split over the data axis, weights passed in
+        replicated — the shard_map transpose inserts the weight-gradient
+        psum over ICI, so training composes with the mesh.
         """
         from vision_spectra_tpu.ops.block_fused import fused_vit_block
 
@@ -380,9 +405,10 @@ class ViTClassifier(nn.Module):
         b, n, e = x.shape
         rows = b * n
         tree = self.variables["params"]
+        depth = self.depth
+        num_heads = self.num_heads
         dp_rates = [
-            self.drop_path_rate * i / max(1, self.depth - 1)
-            for i in range(self.depth)
+            self.drop_path_rate * i / max(1, depth - 1) for i in range(depth)
         ]
         need_rng = not deterministic and any(r > 0.0 for r in dp_rates)
         rng = self.make_rng("dropout") if need_rng else None
@@ -396,12 +422,14 @@ class ViTClassifier(nn.Module):
             m = m / keep
             return jnp.broadcast_to(m[:, None, :], (b, n, 1)).reshape(rows, 1)
 
-        h = x.reshape(rows, e)
-        for i in range(self.depth):
+        params_all = []
+        m1s = []
+        m2s = []
+        for i in range(depth):
             blk = tree[f"blocks_{i}"]
             wqkv = blk["attn"]["qkv"]["kernel"]
             bqkv = blk["attn"]["qkv"]["bias"]
-            params = (
+            params_all.append((
                 blk["norm1"]["scale"].reshape(1, e),
                 blk["norm1"]["bias"].reshape(1, e),
                 wqkv[:, :e], bqkv[:e].reshape(1, e),
@@ -415,18 +443,48 @@ class ViTClassifier(nn.Module):
                 blk["mlp"]["fc1"]["bias"].reshape(1, -1),
                 blk["mlp"]["fc2"]["kernel"],
                 blk["mlp"]["fc2"]["bias"].reshape(1, e),
-            )
+            ))
             if rng is not None:
                 k1 = jax.random.fold_in(rng, 2 * i)
                 k2 = jax.random.fold_in(rng, 2 * i + 1)
             else:
                 k1 = k2 = None
-            m1 = dp_mask(k1, dp_rates[i])
-            m2 = dp_mask(k2, dp_rates[i])
-            h = fused_vit_block(
-                h, params, m1, m2, num_heads=self.num_heads, n_tokens=n,
-                interpret=interpret,
+            m1s.append(dp_mask(k1, dp_rates[i]))
+            m2s.append(dp_mask(k2, dp_rates[i]))
+
+        def run_blocks(h, m1_stack, m2_stack, params):
+            for i in range(depth):
+                h = fused_vit_block(
+                    h, params[i], m1_stack[i], m2_stack[i],
+                    num_heads=num_heads, n_tokens=n, interpret=interpret,
+                )
+            return h
+
+        h = x.reshape(rows, e)
+        m1_stack = jnp.stack(m1s)  # [depth, rows, 1]
+        m2_stack = jnp.stack(m2s)
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from vision_spectra_tpu.parallel.mesh import DATA_AXIS
+
+            run_blocks = jax.shard_map(
+                run_blocks,
+                mesh=mesh,
+                in_specs=(
+                    P(DATA_AXIS, None),
+                    P(None, DATA_AXIS, None),
+                    P(None, DATA_AXIS, None),
+                    P(),
+                ),
+                out_specs=P(DATA_AXIS, None),
+                # pallas_call carries no varying-manual-axes info; replication
+                # of the P() weight inputs is still honored by the transpose
+                # (asserted against the XLA path in tests/test_parallel.py).
+                check_vma=False,
             )
+        h = run_blocks(h, m1_stack, m2_stack, tuple(params_all))
         return h.reshape(b, n, e)
 
     def forward_features(
@@ -547,4 +605,22 @@ def create_vit_classifier(
         depth=depth if depth is not None else config.depth,
         num_heads=num_heads if num_heads is not None else config.num_heads,
         dtype=dtype,
+        use_flash=resolve_use_flash(getattr(config, "use_flash", None)),
     )
+
+
+def resolve_use_flash(cfg_value: bool | None) -> bool:
+    """Resolve ModelConfig.use_flash (None = auto) to the model flag.
+
+    Auto enables the flash gate on TPU — the runtime gate in
+    ``ops/attention.mha`` still keeps XLA attention below N = 1024 tokens
+    and whenever attention dropout is active, so auto only changes behavior
+    for long-sequence geometries where flash measures faster (1.2–2.0× on
+    v5e). Off-TPU auto stays False: interpret-mode Pallas would be a
+    pure slowdown outside tests.
+    """
+    if cfg_value is not None:
+        return cfg_value
+    import jax
+
+    return jax.default_backend() == "tpu"

@@ -48,24 +48,32 @@ __all__ = ["warp_augment", "use_pallas_warp"]
 GROUP_CANDIDATES = (8, 4, 2, 1)
 
 
-def use_pallas_warp(shape: tuple[int, ...]) -> bool:
-    """Whether the Pallas augmentation kernel should serve this batch."""
+def use_pallas_warp(shape: tuple[int, ...], mesh=None) -> bool:
+    """Whether the Pallas augmentation kernel should serve this batch.
+
+    Single chip: direct pallas_call. Multi-device with an explicit ``mesh``:
+    the kernel runs per-shard under ``jax.shard_map`` over the data axis
+    (the warp is embarrassingly parallel over images); the per-shard batch
+    must divide evenly. Multi-device WITHOUT a mesh keeps the XLA path —
+    a bare pallas_call is not GSPMD-partitionable.
+    """
     from vision_spectra_tpu.core.runtime import env_flag
 
     if env_flag("VST_NO_PALLAS_WARP"):
         return False
     b, h, w, c = shape
+    if jax.default_backend() != "tpu":
+        return False
+    if jax.device_count() > 1 or mesh is not None:
+        if mesh is None:
+            return False
+        from vision_spectra_tpu.parallel.mesh import DATA_AXIS
+
+        if b % mesh.shape[DATA_AXIS]:
+            return False
     # VMEM budget: weight matrices are [H, H*W] and [W, H*W] f32; 64 px
     # (4096-lane) images use ~2 MB — beyond that the XLA gather path wins.
-    # Single-chip only: pallas_call is not GSPMD-partitionable, so sharded
-    # train steps (multi-device meshes) keep the XLA path.
-    return (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and c in (1, 3)
-        and 8 <= h <= 64
-        and 8 <= w <= 64
-    )
+    return c in (1, 3) and 8 <= h <= 64 and 8 <= w <= 64
 
 
 def _grayscale(x: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -209,6 +217,7 @@ def warp_augment(
     num_channels: int,
     bilinear: bool,
     interpret: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """Warp + jitter + normalize a uint8 batch in one Pallas dispatch.
 
@@ -222,9 +231,48 @@ def warp_augment(
         opcodes: per-stage jitter opcodes [B, 3] (shuffled order); None in
             bilinear mode (fixed order).
         mean / std: per-channel normalization constants, shape [C].
+        mesh: optional device mesh — the kernel then runs per-shard under
+            ``jax.shard_map`` over the data axis. All per-image parameters
+            are sampled by the CALLER with global batch semantics, so the
+            augmentation draws match the single-device program exactly; only
+            the pallas dispatch is sharded.
 
     Returns float32 [B, H, W, C].
     """
+    if mesh is not None:
+        from vision_spectra_tpu.parallel.mesh import DATA_AXIS
+
+        if mesh.shape[DATA_AXIS] > 1:
+            from jax.sharding import PartitionSpec as P
+
+            args = [images, mat1, factors]
+            specs = [P(DATA_AXIS, None, None, None), P(DATA_AXIS, None, None),
+                     P(DATA_AXIS, None)]
+            if mat2 is not None:
+                args.append(mat2)
+                specs.append(P(DATA_AXIS, None, None))
+            if opcodes is not None:
+                args.append(opcodes)
+                specs.append(P(DATA_AXIS, None))
+
+            def body(im, m1, fac, *rest):
+                rest = list(rest)
+                m2 = rest.pop(0) if mat2 is not None else None
+                opc = rest.pop(0) if opcodes is not None else None
+                return warp_augment(
+                    im, m1, m2, fac, opc, mean, std,
+                    num_channels=num_channels, bilinear=bilinear,
+                    interpret=interpret,
+                )
+
+            return jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=tuple(specs),
+                out_specs=P(DATA_AXIS, None, None, None),
+                check_vma=False,  # pallas_call carries no vma info
+            )(*args)
+
     bsz, h, w, cc = images.shape
     zeros6 = jnp.zeros((bsz, 6), jnp.float32)
     params = jnp.concatenate(

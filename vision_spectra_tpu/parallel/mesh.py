@@ -103,6 +103,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def inject_mesh(model: Any, mesh: Mesh) -> Any:
+    """Return a copy of ``model`` with the mesh plumbed into kernel dispatch.
+
+    The ViT encoder carries an optional ``mesh`` attribute that lets its
+    fused Pallas block kernel run per-shard under ``shard_map`` on
+    data-parallel meshes (models/vit.py). Wrapper models (MIM / multitask)
+    hold the encoder as a submodule — the clone rebuilds them around a
+    mesh-aware encoder. Models without the attribute pass through unchanged.
+    """
+    if hasattr(model, "mesh") and hasattr(model, "clone"):
+        return model.clone(mesh=mesh)
+    encoder = getattr(model, "encoder", None)
+    if encoder is not None and hasattr(encoder, "mesh"):
+        return model.clone(encoder=encoder.clone(mesh=mesh))
+    return model
+
+
 def shard_state(mesh: Mesh, state: Any) -> Any:
     """Place an (unsharded) TrainState onto the mesh."""
     shardings = state_shardings(mesh, state)

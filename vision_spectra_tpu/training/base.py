@@ -92,6 +92,11 @@ class BaseTrainer:
 
             self.mesh = make_mesh(par.data_axis, par.model_axis)
             self._batch_sharding = batch_sharding(self.mesh)
+            # Let the encoder's fused Pallas kernels run per-shard under
+            # shard_map instead of falling back to the XLA path on meshes.
+            from vision_spectra_tpu.parallel.mesh import inject_mesh
+
+            self.model = inject_mesh(self.model, self.mesh)
             data = self.mesh.shape["data"]
             if config.dataset.batch_size % data != 0:
                 raise ValueError(
@@ -172,13 +177,43 @@ class BaseTrainer:
             jnp.float32,
         )
         variables = self.model.init(self._init_rngs(), sample)
-        params = variables["params"]
+        params = self._maybe_import_pretrained(variables["params"])
         self.tx = make_optimizer(
             self.config.optimizer, self.config.training.gradient_clip
         )
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         logger.info("Model initialized: %s parameters", f"{n_params:,}")
         return TrainState.create(params, self.tx)
+
+    def _maybe_import_pretrained(self, params):
+        """Honor ModelConfig.pretrained / pretrained_path at state init.
+
+        The reference loads zoo weights inside timm.create_model (reference:
+        models/vit.py:64-78); here the source is a timm state_dict FILE —
+        ``pretrained_path`` (or VISION_SPECTRA_PRETRAINED_PATH). A path alone
+        also loads; ``pretrained=True`` without any path is a loud error
+        (there is no zoo to silently fall back to).
+        """
+        import os
+
+        mc = self.config.model
+        path = getattr(mc, "pretrained_path", None) or os.environ.get(
+            "VISION_SPECTRA_PRETRAINED_PATH"
+        )
+        if path is None:
+            if getattr(mc, "pretrained", False):
+                raise ValueError(
+                    "model.pretrained=True but no weight source: set "
+                    "model.pretrained_path (timm ViT state_dict .pth/.npz) or "
+                    "VISION_SPECTRA_PRETRAINED_PATH — this environment has no "
+                    "model zoo (reference loads from timm's)."
+                )
+            return params
+        from vision_spectra_tpu.models.pretrained import import_pretrained
+
+        params, loaded, _ = import_pretrained(params, path)
+        logger.info("Pretrained import from %s: %d tensors", path, len(loaded))
+        return params
 
     def _build_step_fns(self) -> None:
         raise NotImplementedError
@@ -197,7 +232,7 @@ class BaseTrainer:
             if self.config.dataset.aug_mode == "torchvision"
             else "train"
         )
-        return make_augment_fn(self.info.num_channels, mode)
+        return make_augment_fn(self.info.num_channels, mode, mesh=self.mesh)
 
     # -- per-epoch hooks (regime subclasses) ---------------------------------
 
