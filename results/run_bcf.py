@@ -1,7 +1,22 @@
-"""Run PathMNIST scenarios F, C, B (3 seeds each; surrogate when npz absent).
+"""One-command PathMNIST B/C/F refresh (VERDICT r1 item 2).
 
-Surrogate runs are tagged data=surrogate and excluded from default figures.
+Runs scenarios B, C, F (3 seeds each), regenerates BOTH figure sets
+(`results/figures/` real-only, `results/figures_all/` with surrogate runs
+hatched), and rewrites the B/C/F table inside results/RESULTS.md between the
+``<!-- BCF:BEGIN -->`` / ``<!-- BCF:END -->`` markers — including the data
+provenance, so the moment a validated ``data/pathmnist.npz`` is dropped in
+(schema+digest checks: data/medmnist.validate_medmnist_npz), rerunning this
+script closes the real-data half of the north star with zero manual steps.
+
+Usage:
+    PYTHONPATH=/root/repo:$PYTHONPATH python results/run_bcf.py [--dry-run]
+
+--dry-run: skip the (13-min) scenario training and only refresh figures +
+RESULTS.md from whatever runs the tracking store already holds — used to
+prove the refresh loop end-to-end against the committed surrogate store.
 """
+import re
+import sys
 import time
 from pathlib import Path
 
@@ -14,18 +29,110 @@ from vision_spectra_tpu.experiments.run_spectral_analysis import (  # noqa: E402
     run_scenario,
 )
 
-out = Path("/root/repo/results/mlruns")
-t0 = time.time()
-for st in [ScenarioType.F_TINY_COMPLEX, ScenarioType.C_REDUCED_COMPLEX,
-           ScenarioType.B_EXPRESSIVE_COMPLEX]:
-    print(f"=== {st.value} start t={time.time()-t0:.0f}s ===", flush=True)
-    results = run_scenario(st, output_dir=out, histogram_artifacts=False)
-    for r in results:
-        print(
-            f"{st.value} seed {r.seed}: ok={r.success} "
-            f"acc={r.best_val_accuracy:.2f}% "
-            f"alpha_final={r.final_metrics.get('alpha_exponent_mean', float('nan')):.4f} "
-            f"time={r.training_time:.0f}s",
-            flush=True,
+REPO = Path("/root/repo")
+OUT = REPO / "results" / "mlruns"
+RESULTS_MD = REPO / "results" / "RESULTS.md"
+REF_DELTAS = {"B": "+0.127", "C": "+0.315", "F": "+0.451"}
+REF_ACCS = {"B": "70.9%", "C": "65.3%", "F": "56.8%"}
+
+
+def run_scenarios():
+    rows = {}
+    t0 = time.time()
+    for st in [ScenarioType.F_TINY_COMPLEX, ScenarioType.C_REDUCED_COMPLEX,
+               ScenarioType.B_EXPRESSIVE_COMPLEX]:
+        print(f"=== {st.value} start t={time.time()-t0:.0f}s ===", flush=True)
+        results = run_scenario(st, output_dir=OUT, histogram_artifacts=False)
+        for r in results:
+            print(
+                f"{st.value} seed {r.seed}: ok={r.success} "
+                f"acc={r.best_val_accuracy:.2f}% "
+                f"alpha_final={r.final_metrics.get('alpha_exponent_mean', float('nan')):.4f} "
+                f"time={r.training_time:.0f}s",
+                flush=True,
+            )
+    print("scenarios done", round(time.time() - t0), "s", flush=True)
+    return rows
+
+
+def refresh_figures():
+    from vision_spectra_tpu.analysis import publication_figures as pf
+
+    for out_dir, include in ((REPO / "results/figures", False),
+                             (REPO / "results/figures_all", True)):
+        metrics = pf.extract_all_scenarios(str(OUT), include_surrogate=include)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        pf.generate_delta_alpha_bar(metrics, out_dir)
+        pf.generate_accuracy_vs_compression(metrics, out_dir)
+        pf.generate_capacity_complexity_heatmap(metrics, out_dir)
+        pf.generate_stable_rank_bars(metrics, out_dir)
+        pf.generate_results_table(metrics, out_dir)
+        pf.generate_latex_table(metrics, out_dir)
+        print(f"figures -> {out_dir} (include_surrogate={include})", flush=True)
+    return pf.extract_all_scenarios(str(OUT), include_surrogate=True)
+
+
+def rewrite_results_md(metrics):
+    # metrics: dict "A".."F" -> ScenarioMetrics (publication_figures).
+    bcf = {s: m for s, m in metrics.items() if s in ("B", "C", "F")}
+    if not bcf:
+        print("no B/C/F runs in the store; RESULTS.md untouched", flush=True)
+        return
+    surrogate = any(m.surrogate for m in bcf.values())
+    prov = "SURROGATE" if surrogate else "REAL PathMNIST"
+    lines = [
+        "<!-- BCF:BEGIN -->",
+        f"### PathMNIST scenarios (B/C/F) — **{prov}** data, 3 seeds",
+        "",
+    ]
+    if surrogate:
+        lines += [
+            "Real PathMNIST is unavailable here (zero egress); these runs use",
+            "the deterministic surrogate and validate the **pipeline at full",
+            "scale**, not the published numbers. Every run carries the",
+            "`data=surrogate` tag; the default `figures` path excludes them.",
+            "Drop a validated `pathmnist.npz` into `data/` (schema + digest",
+            "checks run automatically) and rerun `results/run_bcf.py` — this",
+            "table, both figure sets, and the provenance flip to real data",
+            "with no manual steps.",
+            "",
+        ]
+    else:
+        lines += [
+            "Runs carry the `data_sha256` tag of the validated npz artifact.",
+            "",
+        ]
+    lines += [
+        "| Scenario | Δα (ours) | Δα (ref, real data) | acc (ours) | acc (ref) |",
+        "|---|---|---|---|---|",
+    ]
+    label = {"B": "B — ViT-Tiny", "C": "C — 96d/3L", "F": "F — 32d/1L"}
+    for s in ("B", "C", "F"):
+        m = bcf.get(s)
+        if m is None:
+            lines.append(f"| {label[s]} | — | {REF_DELTAS[s]} | — | {REF_ACCS[s]} |")
+            continue
+        lines.append(
+            f"| {label[s]} | {m.delta_alpha_mean:+.3f} | {REF_DELTAS[s]} "
+            f"| {m.accuracy_mean:.1f}% | {REF_ACCS[s]} |"
         )
-print("ALL DONE", round(time.time() - t0), flush=True)
+    lines.append("<!-- BCF:END -->")
+    block = "\n".join(lines)
+
+    text = RESULTS_MD.read_text()
+    if "<!-- BCF:BEGIN -->" in text:
+        text = re.sub(
+            r"<!-- BCF:BEGIN -->.*?<!-- BCF:END -->", block, text, flags=re.S
+        )
+    else:
+        text += "\n\n" + block + "\n"
+    RESULTS_MD.write_text(text)
+    print(f"RESULTS.md B/C/F section refreshed ({prov})", flush=True)
+
+
+if __name__ == "__main__":
+    if "--dry-run" not in sys.argv:
+        run_scenarios()
+    metrics = refresh_figures()
+    rewrite_results_md(metrics)
+    print("ALL DONE", flush=True)

@@ -219,47 +219,134 @@ class TestMedMNISTSurrogate:
             ds.get_val_split().images, ds2.get_val_split().images
         )
 
-    def test_npz_loading(self, tmp_path):
-        from vision_spectra_tpu.config import DatasetConfig, DatasetName
-        from vision_spectra_tpu.data import MedMNISTDataset
-
+    @staticmethod
+    def _pneumonia_npz(tmp_path, train_labels=None):
+        """Schema-valid pneumoniamnist npz at the PUBLISHED split sizes
+        (4708/524/624) — the validator treats sizes as a fingerprint."""
         rng = np.random.RandomState(0)
+        sizes = {"train": 4708, "val": 524, "test": 624}
         arrays = {}
-        for split, n in [("train", 40), ("val", 10), ("test", 10)]:
+        for split, n in sizes.items():
             arrays[f"{split}_images"] = rng.randint(
                 0, 256, (n, 28, 28), dtype=np.uint8
             )  # grayscale HW format
             arrays[f"{split}_labels"] = rng.randint(0, 2, (n, 1))
+        if train_labels is not None:
+            arrays["train_labels"] = train_labels
         np.savez(tmp_path / "pneumoniamnist.npz", **arrays)
+        return tmp_path / "pneumoniamnist.npz"
+
+    def test_npz_loading(self, tmp_path):
+        from vision_spectra_tpu.config import DatasetConfig, DatasetName
+        from vision_spectra_tpu.data import MedMNISTDataset
+
+        self._pneumonia_npz(tmp_path)
         cfg = DatasetConfig(name=DatasetName.PNEUMONIAMNIST, batch_size=8)
         ds = MedMNISTDataset(cfg, tmp_path)
         assert not ds.surrogate
         info = ds.get_info()
-        assert info.train_size == 40
-        assert ds.get_train_split().images.shape == (40, 28, 28, 1)
+        assert info.train_size == 4708
+        assert ds.get_train_split().images.shape == (4708, 28, 28, 1)
+        # Provenance digests recorded for tracking tags.
+        assert ds.data_digest is not None and "sha256" in ds.data_digest
 
     def test_stratified_subsample_preserves_ratios(self, tmp_path):
         from vision_spectra_tpu.config import DatasetConfig, DatasetName
         from vision_spectra_tpu.data import MedMNISTDataset
 
-        rng = np.random.RandomState(1)
-        labels = np.concatenate([np.zeros(80), np.ones(20)]).astype(np.int64)
-        arrays = {
-            "train_images": rng.randint(0, 256, (100, 28, 28), dtype=np.uint8),
-            "train_labels": labels[:, None],
-            "val_images": rng.randint(0, 256, (10, 28, 28), dtype=np.uint8),
-            "val_labels": np.zeros((10, 1), np.int64),
-            "test_images": rng.randint(0, 256, (10, 28, 28), dtype=np.uint8),
-            "test_labels": np.zeros((10, 1), np.int64),
-        }
-        np.savez(tmp_path / "pneumoniamnist.npz", **arrays)
+        labels = np.concatenate(
+            [np.zeros(3708), np.ones(1000)]
+        ).astype(np.int64)[:, None]
+        self._pneumonia_npz(tmp_path, train_labels=labels)
         np.random.seed(0)
         cfg = DatasetConfig(
             name=DatasetName.PNEUMONIAMNIST, batch_size=8, sample_ratio=0.5
         )
         ds = MedMNISTDataset(cfg, tmp_path)
         counts = ds.get_info().class_counts["train"]
-        assert counts[0] == 40 and counts[1] == 10  # 80/20 ratio preserved
+        assert counts[0] == 1854 and counts[1] == 500  # ratio preserved
+
+
+class TestMedMNISTValidation:
+    """Drop-in npz validation (VERDICT r1 item 2): schema violations fail
+    loud BEFORE training consumes the file; digests are recorded."""
+
+    def _valid(self, tmp_path):
+        return TestMedMNISTSurrogate._pneumonia_npz(tmp_path)
+
+    def test_valid_file_passes_and_digests(self, tmp_path):
+        from vision_spectra_tpu.data.medmnist import validate_medmnist_npz
+
+        d = validate_medmnist_npz(self._valid(tmp_path), "pneumoniamnist")
+        assert len(d["sha256"]) == 64 and len(d["md5"]) == 32
+        assert d["md5_ok"]  # no published digest registered for this variant
+
+    def test_missing_key_fails(self, tmp_path):
+        import pytest
+
+        from vision_spectra_tpu.data.medmnist import validate_medmnist_npz
+
+        path = self._valid(tmp_path)
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files if k != "val_labels"}
+        np.savez(path, **arrays)
+        with pytest.raises(ValueError, match="missing key val_labels"):
+            validate_medmnist_npz(path, "pneumoniamnist")
+
+    def test_truncated_split_fails(self, tmp_path):
+        import pytest
+
+        from vision_spectra_tpu.data.medmnist import validate_medmnist_npz
+
+        path = self._valid(tmp_path)
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+        arrays["train_images"] = arrays["train_images"][:100]
+        arrays["train_labels"] = arrays["train_labels"][:100]
+        np.savez(path, **arrays)
+        with pytest.raises(ValueError, match="train_images shape"):
+            validate_medmnist_npz(path, "pneumoniamnist")
+
+    def test_wrong_dtype_fails(self, tmp_path):
+        import pytest
+
+        from vision_spectra_tpu.data.medmnist import validate_medmnist_npz
+
+        path = self._valid(tmp_path)
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+        arrays["test_images"] = arrays["test_images"].astype(np.float32)
+        np.savez(path, **arrays)
+        with pytest.raises(ValueError, match="test_images dtype"):
+            validate_medmnist_npz(path, "pneumoniamnist")
+
+    def test_label_out_of_range_fails(self, tmp_path):
+        import pytest
+
+        from vision_spectra_tpu.data.medmnist import validate_medmnist_npz
+
+        path = self._valid(tmp_path)
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+        arrays["val_labels"] = arrays["val_labels"] + 7  # classes are {0,1}
+        np.savez(path, **arrays)
+        with pytest.raises(ValueError, match="val_labels range"):
+            validate_medmnist_npz(path, "pneumoniamnist")
+
+    def test_dataset_constructor_fails_loud_on_corrupt(self, tmp_path):
+        import pytest
+
+        from vision_spectra_tpu.config import DatasetConfig, DatasetName
+        from vision_spectra_tpu.data import MedMNISTDataset
+
+        path = self._valid(tmp_path)
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+        arrays["train_images"] = arrays["train_images"][:7]
+        np.savez(path, **arrays)
+        cfg = DatasetConfig(name=DatasetName.PNEUMONIAMNIST, batch_size=8)
+        with pytest.raises(ValueError, match="schema validation"):
+            MedMNISTDataset(cfg, tmp_path)
 
 
 class TestReferenceAugment:

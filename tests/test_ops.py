@@ -377,6 +377,32 @@ class TestFusedBlock:
             b = np.asarray(b, np.float32)
             assert np.abs(a - b).max() <= 0.05 * (np.abs(a).max() + 1e-6)
 
+    @pytest.mark.parametrize("b", [32, 64])
+    def test_science_geometry_parity(self, b):
+        """Scenario batches (32/64 images at N=2 -> 64/128 rows) are served
+        by the whole-batch tile (VERDICT r1 item 8): forward AND grads match
+        the XLA path."""
+        m_x, m_f = self._models(embed_dim=96, depth=3)
+        x = self._data(b=b)
+        params = m_x.init(jax.random.key(0), x[:2])["params"]
+        a = np.asarray(m_x.apply({"params": params}, x, deterministic=True))
+        c = np.asarray(m_f.apply({"params": params}, x, deterministic=True))
+        assert np.abs(a - c).max() < 0.05 * max(np.abs(a).max(), 1.0)
+
+        def mk(m):
+            return jax.grad(
+                lambda p: jnp.mean(
+                    m.apply({"params": p}, x, deterministic=True) ** 2
+                )
+            )
+
+        for ga, gb in zip(
+            jax.tree.leaves(mk(m_x)(params)), jax.tree.leaves(mk(m_f)(params))
+        ):
+            ga = np.asarray(ga, np.float32)
+            gb = np.asarray(gb, np.float32)
+            assert np.abs(ga - gb).max() <= 0.05 * (np.abs(ga).max() + 1e-6)
+
     def test_droppath_training_mode(self):
         """Stochastic-depth masks thread through the kernel; loss is finite
         and differs across dropout keys (masks actually applied)."""
@@ -477,4 +503,11 @@ class TestFusedBlockGeneralN:
         assert select_tile(16 * 50, 50) == 200  # k=4 divides batch 16
         assert select_tile(5 * 50, 50) == 250  # k=5 divides batch 5
         assert select_tile(7 * 130, 130) is None  # N too large
-        assert select_tile(250, 2) is None
+        assert select_tile(250, 2) is None  # no 16-aligned divisor
+        # Science-protocol batches: tile = whole batch (VERDICT r1 item 8).
+        assert select_tile(64, 2) == 64
+        assert select_tile(128, 2) == 128
+        assert select_tile(96, 2) == 96
+        assert select_tile(32, 2) == 32
+        assert select_tile(320, 2) == 160  # largest 16-aligned divisor <= 256
+        assert select_tile(8, 2) is None  # below sublane alignment

@@ -275,7 +275,7 @@ def log_spectral_artifacts(
 
 
 def _build_loaders(config: ScenarioConfig, seed: int, data_dir: Path):
-    """Returns (train_loader, val_loader, data_provenance)."""
+    """Returns (train_loader, val_loader, data_provenance, data_digest)."""
     if config.dataset_name == "synthetic":
         from vision_spectra_tpu.data.synthetic import create_synthetic_dataset
 
@@ -287,7 +287,7 @@ def _build_loaders(config: ScenarioConfig, seed: int, data_dir: Path):
             batch_size=config.batch_size,
             seed=seed,
         )
-        return train, val, "real"
+        return train, val, "real", None
     from vision_spectra_tpu.data import get_dataset
 
     ds_cfg = DatasetConfig(
@@ -296,7 +296,12 @@ def _build_loaders(config: ScenarioConfig, seed: int, data_dir: Path):
         sample_ratio=1.0 if config.num_samples is None else 0.5,
     )
     ds = get_dataset(ds_cfg, data_dir)
-    return ds.get_train_loader(seed=seed), ds.get_val_loader(), ds.data_provenance
+    return (
+        ds.get_train_loader(seed=seed),
+        ds.get_val_loader(),
+        ds.data_provenance,
+        getattr(ds, "data_digest", None),
+    )
 
 
 def run_scenario_experiment(
@@ -354,11 +359,14 @@ def run_scenario_experiment(
             num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
             tracking.log_param("num_parameters", num_params)
 
-            train_loader, val_loader, provenance = _build_loaders(
+            train_loader, val_loader, provenance, digest = _build_loaders(
                 config, seed, data_dir
             )
             tracking.set_tag("data", provenance)
             tracking.log_param("data_provenance", provenance)
+            if digest is not None:
+                # Attributes the run to an exact validated data artifact.
+                tracking.set_tag("data_sha256", digest["sha256"])
             if provenance == "surrogate":
                 logger.warning(
                     "Scenario %s seed %d runs on SURROGATE data — figures "
