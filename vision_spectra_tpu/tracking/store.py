@@ -36,6 +36,20 @@ __all__ = ["Metric", "RunInfo", "Experiment", "FileStore"]
 
 _INVALID = set('<>:"|?*')
 
+# mlflow's FileStore persists run status as the RunStatus proto enum int
+# (mlflow/entities/run_status.py) and, on read, silently coerces anything
+# that is not a valid enum back to RUNNING — a string status would therefore
+# break ``search_runs(... status = 'FINISHED')`` under a real mlflow client.
+# We write ints and read both forms (our pre-interop stores used strings).
+_STATUS_TO_INT = {
+    "RUNNING": 1,
+    "SCHEDULED": 2,
+    "FINISHED": 3,
+    "FAILED": 4,
+    "KILLED": 5,
+}
+_INT_TO_STATUS = {v: k for k, v in _STATUS_TO_INT.items()}
+
 
 def _sanitize_key(key: str) -> str:
     """Keys become relative file paths; keep them safe."""
@@ -148,9 +162,12 @@ class FileStore:
         exp_id = str(max(ids) + 1 if ids else 0)
         exp_dir = self.root / exp_id
         exp_dir.mkdir(parents=True, exist_ok=True)
+        now = _now_ms()
         meta = {
             "artifact_location": exp_dir.resolve().as_uri(),
+            "creation_time": now,
             "experiment_id": exp_id,
+            "last_update_time": now,
             "lifecycle_stage": "active",
             "name": name,
         }
@@ -182,16 +199,24 @@ class FileStore:
 
     def _write_run_meta(self, info: RunInfo) -> None:
         run_dir = self._run_dir(info.experiment_id, info.run_id)
+        # Field set and status encoding match what mlflow's FileStore writes
+        # (RunInfo.from_dictionary filters unknown keys, so supersets are
+        # safe; missing keys and string statuses are not — see _STATUS_TO_INT).
         meta = {
             "artifact_uri": info.artifact_uri,
             "end_time": info.end_time,
+            "entry_point_name": "",
             "experiment_id": info.experiment_id,
             "lifecycle_stage": "active",
             "run_id": info.run_id,
             "run_name": info.run_name,
             "run_uuid": info.run_id,
+            "source_name": "",
+            "source_type": 4,  # mlflow SourceType.LOCAL
+            "source_version": "",
             "start_time": info.start_time,
-            "status": info.status,
+            "status": _STATUS_TO_INT.get(info.status, 1),
+            "tags": [],
             "user_id": os.environ.get("USER", "unknown"),
         }
         (run_dir / "meta.yaml").write_text(yaml.dump(meta))
@@ -210,11 +235,14 @@ class FileStore:
 
     def _load_run(self, run_dir: Path) -> Run:
         meta = yaml.safe_load((run_dir / "meta.yaml").read_text()) or {}
+        status = meta.get("status", "FINISHED")
+        if isinstance(status, int):  # mlflow RunStatus enum encoding
+            status = _INT_TO_STATUS.get(status, "RUNNING")
         info = RunInfo(
             run_id=meta.get("run_id", run_dir.name),
             experiment_id=str(meta.get("experiment_id", run_dir.parent.name)),
             run_name=meta.get("run_name", run_dir.name),
-            status=meta.get("status", "FINISHED"),
+            status=status,
             start_time=meta.get("start_time", 0),
             end_time=meta.get("end_time"),
             artifact_uri=meta.get("artifact_uri", str(run_dir / "artifacts")),
