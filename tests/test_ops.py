@@ -421,6 +421,41 @@ class TestFusedBlock:
         assert np.isfinite(o1).all() and np.isfinite(o2).all()
         assert np.abs(o1 - o2).max() > 1e-4
 
+    def test_auto_gate_keeps_xla_below_full_tile(self, monkeypatch):
+        """Measured decision (results/RESULTS.md): in AUTO mode the science
+        geometries (rows < 256) stay on the XLA path — the kernel is slower
+        there and has a perf cliff at 192d/128 rows — while >= 256 rows
+        engage the kernel. Explicit use_fused_blocks=True still serves
+        small batches (covered by test_science_geometry_parity)."""
+        import vision_spectra_tpu.ops.block_fused as bf
+        from vision_spectra_tpu.models.vit import build_vit
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(jax, "device_count", lambda: 1)
+
+        def boom(*a, **k):
+            raise RuntimeError("kernel dispatched")
+
+        monkeypatch.setattr(bf, "fused_vit_block", boom)
+        model, _ = build_vit(
+            "vit_tiny_patch16_224", num_classes=3, image_size=28,
+            embed_dim=32, depth=1, dtype=jnp.bfloat16,
+        )  # use_fused_blocks defaults to None (auto)
+        params = model.init(jax.random.key(0), jnp.zeros((2, 28, 28, 3)))[
+            "params"
+        ]
+        # 32 images -> 64 rows < 256: auto must take the XLA path.
+        out = model.apply(
+            {"params": params}, jnp.zeros((32, 28, 28, 3)), deterministic=True
+        )
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        # 128 images -> 256 rows: auto engages the kernel (sentinel raises).
+        with pytest.raises(RuntimeError, match="kernel dispatched"):
+            model.apply(
+                {"params": params}, jnp.zeros((128, 28, 28, 3)),
+                deterministic=True,
+            )
+
     def test_gate_respects_geometry(self):
         """Geometry gate (backend-agnostic kernel_serves): odd row counts,
         rows not divisible by n_tokens, and oversized embed dims all fall

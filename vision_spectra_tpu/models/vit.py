@@ -401,8 +401,18 @@ class ViTClassifier(nn.Module):
             rows //= data  # the kernel runs on per-shard rows
         elif self.use_fused_blocks is None and jax.device_count() > 1:
             return False  # multi-device without a mesh: GSPMD, XLA path
-        if self.use_fused_blocks is None and jax.default_backend() != "tpu":
-            return False  # auto engages on TPU only; True forces (tests)
+        if self.use_fused_blocks is None:
+            if jax.default_backend() != "tpu":
+                return False  # auto engages on TPU only; True forces (tests)
+            from vision_spectra_tpu.ops.block_fused import TILE_ROWS
+
+            # Measured decision (results/RESULTS.md "science geometry"):
+            # below the full 256-row tile the XLA path is faster on every
+            # protocol geometry (and the kernel has a perf cliff at
+            # 192d/128 rows), so auto keeps XLA there; explicit True still
+            # serves small batches via the whole-batch tile.
+            if rows < TILE_ROWS:
+                return False
         return kernel_serves(rows, n, self.embed_dim)
 
     def _encode_fused(
