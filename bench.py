@@ -56,6 +56,9 @@ def main() -> None:
     # cost, 16384 regresses).
     batch_size = 8192
     dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    # bf16 model input straight from augmentation (numerically identical:
+    # the model casts at its first matmul) — halves aug output traffic.
+    aug_dt = jnp.bfloat16 if platform == "tpu" else None
 
     cfg = ExperimentConfig(
         name="bench",
@@ -84,7 +87,7 @@ def main() -> None:
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, images_u8, labels, key, lr):
         k_aug, k_drop = jax.random.split(key)
-        images = train_augment(images_u8, k_aug, num_channels=3)
+        images = train_augment(images_u8, k_aug, num_channels=3, out_dtype=aug_dt)
 
         def compute_loss(params):
             logits = model.apply(
@@ -149,7 +152,10 @@ def main() -> None:
     )
     labels_dev = jnp.asarray(rng.randint(0, 9, size=n_fused).astype(np.int32))
     epoch_fn = make_fused_epoch_fn(
-        model, loss_fn, tx, batch_size=batch_size, num_channels=3
+        model, loss_fn, tx, batch_size=batch_size, num_channels=3,
+        augment_fn=functools.partial(
+            train_augment, num_channels=3, out_dtype=aug_dt
+        ),
     )  # aug_mode=fused (single bilinear warp; Pallas kernel on TPU)
     # Fresh params: the streaming loop donated (deleted) the originals.
     params2 = model.init(jax.random.key(0), sample)["params"]
@@ -187,7 +193,9 @@ def main() -> None:
 
     epoch_ref = make_fused_epoch_fn(
         model, loss_fn, tx, batch_size=batch_size, num_channels=3,
-        augment_fn=functools.partial(train_augment_ref, num_channels=3),
+        augment_fn=functools.partial(
+            train_augment_ref, num_channels=3, out_dtype=aug_dt
+        ),
     )
     params3 = model.init(jax.random.key(0), sample)["params"]
     state3 = TrainState.create(params3, tx)
@@ -247,7 +255,7 @@ def main() -> None:
 
     def mim_core(state, imgs, labs, key, lr_s, lr_mult):
         k_aug, k_drop, k_mask = jax.random.split(key, 3)
-        x = mim_augment(imgs, k_aug, num_channels=3)
+        x = mim_augment(imgs, k_aug, num_channels=3, out_dtype=aug_dt)
 
         def loss_fn_(p):
             loss, _pred, _mask = mim.apply(
@@ -271,7 +279,7 @@ def main() -> None:
 
     def mtl_core(state, imgs, labs, key, lr_s, lr_mult):
         k_aug, k_drop, k_mask = jax.random.split(key, 3)
-        x = train_augment(imgs, k_aug, num_channels=3)
+        x = train_augment(imgs, k_aug, num_channels=3, out_dtype=aug_dt)
 
         def loss_fn_(p):
             logits, mim_loss, _pred, _mask = mtl.apply(
@@ -290,7 +298,7 @@ def main() -> None:
 
     def ft_core(state, imgs, labs, key, lr_s, lr_mult):
         k_aug, k_drop = jax.random.split(key)
-        x = train_augment(imgs, k_aug, num_channels=3)
+        x = train_augment(imgs, k_aug, num_channels=3, out_dtype=aug_dt)
 
         def loss_fn_(p):
             logits = model.apply({"params": p}, x, deterministic=False,
@@ -315,7 +323,7 @@ def main() -> None:
 
     def p4_core(state, imgs, labs, key, lr_s, lr_mult):
         k_aug, k_drop = jax.random.split(key)
-        x = train_augment(imgs, k_aug, num_channels=3)
+        x = train_augment(imgs, k_aug, num_channels=3, out_dtype=aug_dt)
 
         def loss_fn_(p):
             logits = model_p4.apply({"params": p}, x, deterministic=False,
@@ -340,7 +348,7 @@ def main() -> None:
 
     def mim_p4_core(state, imgs, labs, key, lr_s, lr_mult):
         k_aug, k_drop, k_mask = jax.random.split(key, 3)
-        x = mim_augment(imgs, k_aug, num_channels=3)
+        x = mim_augment(imgs, k_aug, num_channels=3, out_dtype=aug_dt)
 
         def loss_fn_(p):
             loss, _pred, _mask = mim_p4.apply(

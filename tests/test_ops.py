@@ -319,6 +319,56 @@ class TestAugWarpKernel:
         assert np.isfinite(np.asarray(out1)).all()
         assert np.isfinite(np.asarray(out2)).all()
 
+    @pytest.mark.parametrize("bilinear", [False, True])
+    def test_kernel_gather_indices_matches_pregathered(self, bilinear):
+        """gather_indices DMA-by-index == augmenting the gathered batch:
+        the fused-epoch shuffle must be bit-identical either way."""
+        from vision_spectra_tpu.data.transforms import (
+            _jitter_factors,
+            _jitter_params,
+            _random_affine_inverse,
+            _ref_warp_mats,
+            _stats,
+        )
+        from vision_spectra_tpu.ops.aug_warp import warp_augment
+
+        full = self._batch(b=16, seed=5)
+        idx = jnp.asarray([3, 0, 15, 7, 7, 2, 9, 11], jnp.int32)
+        b, (_, h, w, c) = len(idx), full.shape
+        key = jax.random.key(13)
+        mean, std = _stats(c)
+        if bilinear:
+            k_affine, k_color = jax.random.split(key)
+            inv = _random_affine_inverse(k_affine, b, h, w)
+            fb, fc, fs = _jitter_factors(k_color, b)
+            args = (inv, None, jnp.stack([fb, fc, fs], axis=1), None)
+        else:
+            rot, aff, k_color = _ref_warp_mats(key, b, h, w)
+            factors, opcodes = _jitter_params(k_color, b, c)
+            args = (rot, aff, factors, opcodes)
+
+        kw = dict(num_channels=c, bilinear=bilinear, interpret=True)
+        out_gather = warp_augment(
+            full, *args, mean, std, gather_indices=idx, **kw
+        )
+        out_pre = warp_augment(jnp.take(full, idx, axis=0), *args, mean, std, **kw)
+        np.testing.assert_array_equal(np.asarray(out_gather), np.asarray(out_pre))
+
+    def test_out_dtype_bf16_matches_f32_cast(self):
+        """out_dtype=bf16 == f32 output cast to bf16 (kernel and XLA path)."""
+        from vision_spectra_tpu.data.transforms import train_augment_ref
+
+        imgs = self._batch(b=4, seed=8)
+        key = jax.random.key(3)
+        f32 = train_augment_ref(imgs, key, num_channels=3)
+        bf16 = train_augment_ref(
+            imgs, key, num_channels=3, out_dtype=jnp.bfloat16
+        )
+        assert bf16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(f32.astype(jnp.bfloat16)), np.asarray(bf16)
+        )
+
 
 class TestFusedBlock:
     """Whole-block Pallas kernel (ops/block_fused.py) vs the XLA block path.

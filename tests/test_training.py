@@ -371,6 +371,41 @@ class TestFusedTrainer:
         assert int(state2.step) == 4
         assert np.isfinite(loss_sum)
 
+    def test_fused_epoch_indexed_matches_regular(self):
+        """The zero-copy (index-gather) shuffle is bit-identical to the
+        materialized shuffle: same stats, same updated params."""
+        import jax
+        import jax.numpy as jnp
+
+        from vision_spectra_tpu.config import OptimizerConfig
+        from vision_spectra_tpu.losses import make_cross_entropy
+        from vision_spectra_tpu.training.fused import make_fused_epoch_fn
+        from vision_spectra_tpu.training.state import TrainState, make_optimizer
+
+        model, _ = build_vit("vit_tiny_patch4_28", num_classes=3, image_size=28,
+                             embed_dim=32, depth=1, drop_path_rate=0.0)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))["params"]
+        tx = make_optimizer(OptimizerConfig(), gradient_clip=1.0)
+        rng = np.random.RandomState(1)
+        images = jnp.asarray(rng.randint(0, 256, (32, 28, 28, 3), dtype=np.uint8))
+        labels = jnp.asarray(rng.randint(0, 3, 32).astype(np.int32))
+
+        results = []
+        for indexed in (False, True):
+            fn = make_fused_epoch_fn(
+                model, make_cross_entropy(), tx, batch_size=8, indexed=indexed
+            )
+            state = TrainState.create(
+                jax.tree.map(jnp.copy, params), tx
+            )
+            state, acc = fn(state, images, labels, jax.random.key(7),
+                            jnp.float32(1e-3))
+            results.append((np.asarray(acc), state.params))
+        np.testing.assert_array_equal(results[0][0], results[1][0])
+        for a, b in zip(jax.tree.leaves(results[0][1]),
+                        jax.tree.leaves(results[1][1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestFusedRegimes:
     """Fused epochs for MIM / multitask / finetune + per-step LR parity."""

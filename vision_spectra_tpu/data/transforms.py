@@ -453,9 +453,12 @@ def _nearest_sample_from_coords(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("num_channels", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("num_channels", "mesh", "out_dtype")
+)
 def train_augment_ref(
-    images: jnp.ndarray, key: jax.Array, num_channels: int = 3, mesh=None
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3, mesh=None,
+    out_dtype=None, indices: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Reference-faithful train augmentation (torchvision two-pass semantics).
 
@@ -480,25 +483,30 @@ def train_augment_ref(
     On TPU the whole pipeline runs as a single Pallas kernel
     (ops/aug_warp.py) that keeps every intermediate in VMEM.
     """
-    b, h, w, _ = images.shape
+    _, h, w, c = images.shape
+    b = indices.shape[0] if indices is not None else images.shape[0]
     rot, aff, k_color = _ref_warp_mats(key, b, h, w)
 
     from vision_spectra_tpu.ops.aug_warp import use_pallas_warp, warp_augment
 
-    if use_pallas_warp(images.shape, mesh):
+    if use_pallas_warp((b, h, w, c), mesh):
         factors, opcodes = _jitter_params(k_color, b, num_channels)
         mean, std = _stats(num_channels)
         return warp_augment(
             images, rot, aff, factors, opcodes, mean, std,
             num_channels=num_channels, bilinear=False, mesh=mesh,
+            out_dtype=out_dtype, gather_indices=indices,
         )
 
+    if indices is not None:
+        images = jnp.take(images, indices, axis=0)
     x = images.astype(jnp.float32) / 255.0
     sx, sy, valid = composed_nearest_coords(rot, aff, h, w)
     x = _nearest_sample_from_coords(x, sx, sy, valid)
     x = _color_jitter_shuffled(k_color, x, num_channels)
     mean, std = _stats(num_channels)
-    return (x - mean) / std
+    out = (x - mean) / std
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def _train_augment_ref_twopass(
@@ -515,9 +523,12 @@ def _train_augment_ref_twopass(
     return (x - mean) / std
 
 
-@functools.partial(jax.jit, static_argnames=("num_channels", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("num_channels", "mesh", "out_dtype")
+)
 def train_augment(
-    images: jnp.ndarray, key: jax.Array, num_channels: int = 3, mesh=None
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3, mesh=None,
+    out_dtype=None, indices: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full train-time augmentation: warp + color jitter + normalize.
 
@@ -525,38 +536,47 @@ def train_augment(
     normalize) runs as one Pallas kernel (ops/aug_warp.py); elsewhere as the
     XLA matmul-warp formulation. Both consume the same sampled parameters.
     """
-    b, h, w, _ = images.shape
+    _, h, w, c = images.shape
+    b = indices.shape[0] if indices is not None else images.shape[0]
     k_affine, k_color = jax.random.split(key)
     inv = _random_affine_inverse(k_affine, b, h, w)
 
     from vision_spectra_tpu.ops.aug_warp import use_pallas_warp, warp_augment
 
-    if use_pallas_warp(images.shape, mesh):
+    if use_pallas_warp((b, h, w, c), mesh):
         fb, fc, fs = _jitter_factors(k_color, b)
         mean, std = _stats(num_channels)
         return warp_augment(
             images, inv, None, jnp.stack([fb, fc, fs], axis=1), None,
             mean, std, num_channels=num_channels, bilinear=True, mesh=mesh,
+            out_dtype=out_dtype, gather_indices=indices,
         )
 
+    if indices is not None:
+        images = jnp.take(images, indices, axis=0)
     x = images.astype(jnp.float32) / 255.0
     x = _affine_grid_sample(x, inv)
     x = _color_jitter(k_color, x, num_channels)
     mean, std = _stats(num_channels)
-    return (x - mean) / std
+    out = (x - mean) / std
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
-@functools.partial(jax.jit, static_argnames=("num_channels",))
+@functools.partial(jax.jit, static_argnames=("num_channels", "out_dtype"))
 def mim_augment(
-    images: jnp.ndarray, key: jax.Array, num_channels: int = 3
+    images: jnp.ndarray, key: jax.Array, num_channels: int = 3,
+    out_dtype=None, indices: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """MIM augmentation: horizontal flip only + normalize (transforms.py:85)."""
+    if indices is not None:
+        images = jnp.take(images, indices, axis=0)
     b = images.shape[0]
     flip = jax.random.bernoulli(key, 0.5, (b, 1, 1, 1))
     x = images.astype(jnp.float32) / 255.0
     x = jnp.where(flip, x[:, :, ::-1, :], x)
     mean, std = _stats(num_channels)
-    return (x - mean) / std
+    out = (x - mean) / std
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 @functools.partial(jax.jit, static_argnames=("num_channels",))
@@ -566,21 +586,26 @@ def eval_transform(images: jnp.ndarray, num_channels: int = 3) -> jnp.ndarray:
 
 
 def make_augment_fn(
-    num_channels: int, mode: str = "train", mesh=None
+    num_channels: int, mode: str = "train", mesh=None, out_dtype=None
 ) -> Callable[[jnp.ndarray, jax.Array], jnp.ndarray]:
     """Factory returning the right (images, key) -> images function.
 
     ``mesh`` (optional) lets the train-time Pallas warp kernel run per-shard
     under ``shard_map`` on multi-device meshes; the random parameter draws
-    keep global-batch semantics either way.
+    keep global-batch semantics either way. ``out_dtype`` (train modes only)
+    lets bf16-compute models take bf16 inputs straight from the augmentation
+    kernel — numerically identical (the model casts at its first matmul),
+    half the activation traffic.
     """
     if mode == "train":
         return functools.partial(
-            train_augment, num_channels=num_channels, mesh=mesh
+            train_augment, num_channels=num_channels, mesh=mesh,
+            out_dtype=out_dtype,
         )
     if mode == "train_ref":
         return functools.partial(
-            train_augment_ref, num_channels=num_channels, mesh=mesh
+            train_augment_ref, num_channels=num_channels, mesh=mesh,
+            out_dtype=out_dtype,
         )
     if mode == "mim":
         return functools.partial(mim_augment, num_channels=num_channels)

@@ -76,18 +76,36 @@ def use_pallas_warp(shape: tuple[int, ...], mesh=None) -> bool:
     return c in (1, 3) and 8 <= h <= 64 and 8 <= w <= 64
 
 
-def _grayscale(x: jnp.ndarray, c: int) -> jnp.ndarray:
-    """[C, HW] -> [1, HW] luminance (identity for grayscale)."""
+def _grayscale_b(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """[G, C, HW] -> [G, 1, HW] luminance (identity for grayscale)."""
     if c == 3:
-        return 0.299 * x[0:1] + 0.587 * x[1:2] + 0.114 * x[2:3]
+        return 0.299 * x[:, 0:1] + 0.587 * x[:, 1:2] + 0.114 * x[:, 2:3]
     return x
 
 
+def _sub_bcast(v, c: int):
+    """[G, 1, 1] -> [G, C, 1]: expand per-image scalars over channels so the
+    arithmetic only lane-broadcasts. Mosaic cannot broadcast sublanes AND
+    lanes in one op, and a ``broadcast_to`` here would be folded back into
+    exactly that (MLIR canonicalizes broadcast-of-broadcast), so the channel
+    copies are materialized with ``concatenate`` — a real op that survives
+    canonicalization."""
+    if c == 1:
+        return v
+    return jnp.concatenate([v] * c, axis=1)
+
+
 def _jitter_fixed(x, fb, fc, fs, c):
-    """data/transforms._color_jitter semantics: fixed order, gray reused."""
+    """data/transforms._color_jitter semantics: fixed order, gray reused.
+
+    Batched over the program's image group: ``x`` [G, C, HW], factors
+    [G, C, 1] — the whole group rides full 8-sublane vregs instead of C=3
+    sublanes per image (2.7x fewer VPU ops). Per-element math is identical
+    to the per-image form.
+    """
     x = jnp.clip(x * fb, 0.0, 1.0)
-    gray = _grayscale(x, c)
-    mean_gray = jnp.mean(gray, keepdims=True)
+    gray = _grayscale_b(x, c)
+    mean_gray = _sub_bcast(jnp.mean(gray, axis=2, keepdims=True), c)
     x = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
     if c == 3:
         x = jnp.clip((x - gray) * fs + gray, 0.0, 1.0)
@@ -95,27 +113,33 @@ def _jitter_fixed(x, fb, fc, fs, c):
 
 
 def _jitter_shuffled(x, fb, fc, fs, o0, o1, o2, c):
-    """data/transforms._color_jitter_shuffled semantics: per-stage opcode."""
+    """data/transforms._color_jitter_shuffled semantics: per-stage opcode.
+
+    Batched over the image group like :func:`_jitter_fixed`; per-stage the
+    three candidate ops are computed group-wide and selected by the per-image
+    opcode columns [G, C, 1] — identical values to torchvision's per-image
+    random op order.
+    """
     for op in (o0, o1, o2):
         xb = jnp.clip(x * fb, 0.0, 1.0)
-        gray = _grayscale(x, c)
-        mean_gray = jnp.mean(gray, keepdims=True)
+        gray = _grayscale_b(x, c)
+        mean_gray = _sub_bcast(jnp.mean(gray, axis=2, keepdims=True), c)
         xc = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
         xs = jnp.clip((x - gray) * fs + gray, 0.0, 1.0) if c == 3 else x
         x = jnp.where(op == 0.0, xb, jnp.where(op == 1.0, xc, xs))
     return x
 
 
-def _make_kernel(h: int, w: int, c: int, bilinear: bool,
-                 mean: tuple[float, ...], std: tuple[float, ...],
-                 group: int):
-    hw = h * w
-    # Python-float constants (Pallas kernels cannot capture array constants);
-    # normalization happens row-by-row below.
-    inv_std = tuple(1.0 / float(s) for s in std)
-    mean_f = tuple(float(m) for m in mean)
+def _make_warp_one(h: int, w: int, c: int, bilinear: bool):
+    """Per-image phase 1: affine weights + the MXU contraction.
 
-    def one_image(p, img_ref_slice, out_ref, g):
+    Returns ``warp_one(p, img_ref_slice) -> (tmp [W*C, HW] f32, wx [W, HW]
+    f32)`` — the second (per-lane) contraction is deferred so phase 2 can run
+    it batched over the whole group.
+    """
+    hw = h * w
+
+    def warp_one(p, img_ref_slice):
         # Output-pixel coordinates, lane dim = H*W.
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
         xo = (idx % w).astype(jnp.float32)
@@ -143,7 +167,7 @@ def _make_kernel(h: int, w: int, c: int, bilinear: bool,
             wy = ((srows == ry) & valid).astype(jnp.float32)  # [H, HW]
             wx = (tcols == rx).astype(jnp.float32)  # [W, HW]
 
-        # Warp as two contractions (image and weights stay in VMEM).
+        # Warp contraction 1 (image and weights stay in VMEM).
         # uint8 -> int32 -> f32 -> bf16 (Mosaic lacks direct uint8->float
         # casts; the int32 hop is exact for 8-bit data).
         img = (
@@ -155,38 +179,112 @@ def _make_kernel(h: int, w: int, c: int, bilinear: bool,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [W*C, HW]
-        x = jnp.sum(tmp.reshape(w, c, hw) * wx[:, None, :], axis=0)  # [C, HW]
+        return tmp, wx
+
+    return warp_one
+
+
+def _make_group_body(h: int, w: int, c: int, bilinear: bool,
+                     mean: tuple[float, ...], std: tuple[float, ...],
+                     group: int, out_dtype=jnp.float32):
+    """The shared kernel body: per-image MXU warps (phase 1), then the
+    per-lane contraction + jitter + normalize batched over the group
+    (phase 2) and a single output-block write."""
+    hw = h * w
+    # Python-float constants (Pallas kernels cannot capture array constants);
+    # normalization happens channel-row by channel-row below.
+    inv_std = tuple(1.0 / float(s) for s in std)
+    mean_f = tuple(float(m) for m in mean)
+    warp_one = _make_warp_one(h, w, c, bilinear)
+
+    def run_group(params_ref, img_slices, out_ref):
+        tmps = []
+        wxs = []
+        for g in range(group):
+            def p(j, _g=g):  # SMEM allows scalar loads only
+                return params_ref[_g, 0, j]
+            tmp, wx = warp_one(p, img_slices[g])
+            tmps.append(tmp)
+            wxs.append(wx)
+
+        def col(j):
+            v = jnp.concatenate(
+                [params_ref[g, 0, j].reshape(1, 1, 1) for g in range(group)],
+                axis=0,
+            )  # [G, 1, 1]
+            return _sub_bcast(v, c)  # [G, C, 1]
+
+        # Phase 2: contraction 2 over source columns, batched [G, W, C, HW].
+        tmp_b = jnp.concatenate(
+            [t.reshape(1, w, c, hw) for t in tmps], axis=0
+        )
+        wx_b = jnp.concatenate(
+            [x.reshape(1, w, 1, hw) for x in wxs], axis=0
+        )
+        x = jnp.sum(tmp_b * wx_b, axis=1)  # [G, C, HW]
 
         if bilinear:
-            x = _jitter_fixed(x, p(12), p(13), p(14), c)
+            x = _jitter_fixed(x, col(12), col(13), col(14), c)
         else:
             x = _jitter_shuffled(
-                x, p(12), p(13), p(14),
-                p(15), p(16), p(17), c,
+                x, col(12), col(13), col(14),
+                col(15), col(16), col(17), c,
             )
-        out_ref[g] = jnp.concatenate(
-            [(x[i : i + 1] - mean_f[i]) * inv_std[i] for i in range(c)],
-            axis=0,
-        )
+        out_ref[...] = jnp.concatenate(
+            [(x[:, i : i + 1] - mean_f[i]) * inv_std[i] for i in range(c)],
+            axis=1,
+        ).astype(out_dtype)
+
+    return run_group
+
+
+def _make_kernel(h: int, w: int, c: int, bilinear: bool,
+                 mean: tuple[float, ...], std: tuple[float, ...],
+                 group: int, out_dtype=jnp.float32):
+    run_group = _make_group_body(h, w, c, bilinear, mean, std, group, out_dtype)
 
     def kernel(params_ref, img_ref, out_ref):
         # ``group`` images per grid step (statically unrolled): one-image
         # programs are DMA/grid-overhead bound at 28 px (~1.5 us/image);
-        # grouping amortizes that ~3x.
-        for g in range(group):
-            def p(j, _g=g):  # SMEM allows scalar loads only
-                return params_ref[_g, 0, j]
-            one_image(p, img_ref[g], out_ref, g)
+        # grouping amortizes that ~3x and lets phase 2 vectorize over the
+        # group's C-channel rows.
+        run_group(params_ref, [img_ref[g] for g in range(group)], out_ref)
 
     return kernel
+
+
+def _make_kernel_gather(h: int, w: int, c: int, bilinear: bool,
+                        mean: tuple[float, ...], std: tuple[float, ...],
+                        group: int, out_dtype=jnp.float32):
+    """Kernel variant whose image blocks are fetched by INDEX.
+
+    The epoch-level shuffle gather becomes free: each of the ``group`` image
+    operands is the SAME resident dataset array, and its BlockSpec index_map
+    reads the scalar-prefetched permutation — Mosaic double-buffers the
+    per-image row DMAs across grid steps exactly like the contiguous path.
+    """
+    run_group = _make_group_body(h, w, c, bilinear, mean, std, group, out_dtype)
+
+    def kernel(idx_ref, params_ref, *refs):
+        del idx_ref  # consumed by the BlockSpec index maps
+        img_refs = refs[:group]
+        out_ref = refs[group]
+        run_group(params_ref, [img_refs[g][0] for g in range(group)], out_ref)
+
+    return kernel
+
+
+def _pick_group(b: int) -> int:
+    return next(g for g in GROUP_CANDIDATES if b % g == 0)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_call(b: int, h: int, w: int, c: int, bilinear: bool,
                 mean: tuple[float, ...], std: tuple[float, ...],
-                interpret: bool):
-    group = next(g for g in GROUP_CANDIDATES if b % g == 0)
-    kernel = _make_kernel(h, w, c, bilinear, mean, std, group)
+                interpret: bool, out_dtype_name: str = "float32"):
+    out_dtype = jnp.dtype(out_dtype_name)
+    group = _pick_group(b)
+    kernel = _make_kernel(h, w, c, bilinear, mean, std, group, out_dtype)
     return pl.pallas_call(
         kernel,
         grid=(b // group,),
@@ -200,9 +298,48 @@ def _build_call(b: int, h: int, w: int, c: int, bilinear: bool,
         ],
         out_specs=pl.BlockSpec((group, c, h * w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, h * w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h * w), out_dtype),
         interpret=interpret,
     )
+
+
+def _gather_img_index(i, idx_ref, *, g: int, group: int):
+    return (idx_ref[group * i + g], 0, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_gather(n: int, b: int, h: int, w: int, c: int, bilinear: bool,
+                       mean: tuple[float, ...], std: tuple[float, ...],
+                       interpret: bool, out_dtype_name: str = "float32"):
+    """pallas_call fetching each image by scalar-prefetched index from the
+    full [n, ...] resident dataset (the fused-epoch shuffle, for free)."""
+    out_dtype = jnp.dtype(out_dtype_name)
+    group = _pick_group(b)
+    kernel = _make_kernel_gather(h, w, c, bilinear, mean, std, group, out_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // group,),
+        in_specs=[
+            pl.BlockSpec((group, 1, 20), lambda i, idx: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            *[
+                pl.BlockSpec(
+                    (1, h, w * c),
+                    functools.partial(_gather_img_index, g=g, group=group),
+                    memory_space=pltpu.VMEM,
+                )
+                for g in range(group)
+            ],
+        ],
+        out_specs=pl.BlockSpec((group, c, h * w), lambda i, idx: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, h * w), out_dtype),
+        interpret=interpret,
+    ), group
 
 
 def warp_augment(
@@ -218,11 +355,15 @@ def warp_augment(
     bilinear: bool,
     interpret: bool = False,
     mesh=None,
+    out_dtype=None,
+    gather_indices: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Warp + jitter + normalize a uint8 batch in one Pallas dispatch.
 
     Args:
-        images: uint8 [B, H, W, C].
+        images: uint8 [B, H, W, C] — or, with ``gather_indices``, the FULL
+            resident dataset [N, H, W, C] from which each image is DMA'd by
+            index (the fused-epoch shuffle gather, fused into this kernel).
         mat1: inverse 2x3 affines [B, 2, 3] — the single bilinear warp, or
             pass 1 (rotation/flip) of the composed nearest recipe.
         mat2: pass-2 (translate/scale) affines for the nearest recipe; None
@@ -236,8 +377,15 @@ def warp_augment(
             are sampled by the CALLER with global batch semantics, so the
             augmentation draws match the single-device program exactly; only
             the pallas dispatch is sharded.
+        out_dtype: output dtype (default float32). bf16-compute models cast
+            the input at the first matmul anyway, so emitting bf16 here is
+            numerically identical while halving the kernel's output traffic.
+        gather_indices: optional int32 [B] row indices into ``images``;
+            output row j augments ``images[gather_indices[j]]`` with row-j
+            parameters — bit-identical to gathering first, without ever
+            materializing the shuffled copy in HBM.
 
-    Returns float32 [B, H, W, C].
+    Returns [B, H, W, C] in ``out_dtype`` (normalization always in f32).
     """
     if mesh is not None:
         from vision_spectra_tpu.parallel.mesh import DATA_AXIS
@@ -245,24 +393,35 @@ def warp_augment(
         if mesh.shape[DATA_AXIS] > 1:
             from jax.sharding import PartitionSpec as P
 
+            # With gather_indices, the dataset stays replicated and only the
+            # index vector (plus per-image params) shards over data.
             args = [images, mat1, factors]
-            specs = [P(DATA_AXIS, None, None, None), P(DATA_AXIS, None, None),
-                     P(DATA_AXIS, None)]
+            specs = [
+                P(None, None, None, None) if gather_indices is not None
+                else P(DATA_AXIS, None, None, None),
+                P(DATA_AXIS, None, None),
+                P(DATA_AXIS, None),
+            ]
             if mat2 is not None:
                 args.append(mat2)
                 specs.append(P(DATA_AXIS, None, None))
             if opcodes is not None:
                 args.append(opcodes)
                 specs.append(P(DATA_AXIS, None))
+            if gather_indices is not None:
+                args.append(gather_indices)
+                specs.append(P(DATA_AXIS))
 
             def body(im, m1, fac, *rest):
                 rest = list(rest)
                 m2 = rest.pop(0) if mat2 is not None else None
                 opc = rest.pop(0) if opcodes is not None else None
+                idx = rest.pop(0) if gather_indices is not None else None
                 return warp_augment(
                     im, m1, m2, fac, opc, mean, std,
                     num_channels=num_channels, bilinear=bilinear,
-                    interpret=interpret,
+                    interpret=interpret, out_dtype=out_dtype,
+                    gather_indices=idx,
                 )
 
             return jax.shard_map(
@@ -273,7 +432,8 @@ def warp_augment(
                 check_vma=False,  # pallas_call carries no vma info
             )(*args)
 
-    bsz, h, w, cc = images.shape
+    n, h, w, cc = images.shape
+    bsz = gather_indices.shape[0] if gather_indices is not None else n
     zeros6 = jnp.zeros((bsz, 6), jnp.float32)
     params = jnp.concatenate(
         [
@@ -287,11 +447,22 @@ def warp_augment(
         ],
         axis=1,
     )
-    call = _build_call(
-        bsz, h, w, cc, bilinear,
-        tuple(float(v) for v in np.asarray(mean).ravel()),
-        tuple(float(v) for v in np.asarray(std).ravel()),
-        interpret,
-    )
-    out = call(params.reshape(bsz, 1, 20), images.reshape(bsz, h, w * cc))
+    mean_t = tuple(float(v) for v in np.asarray(mean).ravel())
+    std_t = tuple(float(v) for v in np.asarray(std).ravel())
+    dt_name = jnp.dtype(out_dtype or jnp.float32).name
+    if gather_indices is not None:
+        call, group = _build_call_gather(
+            n, bsz, h, w, cc, bilinear, mean_t, std_t, interpret, dt_name
+        )
+        imgs = images.reshape(n, h, w * cc)
+        out = call(
+            gather_indices.astype(jnp.int32),
+            params.reshape(bsz, 1, 20),
+            *([imgs] * group),
+        )
+    else:
+        call = _build_call(
+            bsz, h, w, cc, bilinear, mean_t, std_t, interpret, dt_name
+        )
+        out = call(params.reshape(bsz, 1, 20), images.reshape(bsz, h, w * cc))
     return out.transpose(0, 2, 1).reshape(bsz, h, w, cc)

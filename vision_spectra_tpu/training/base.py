@@ -61,6 +61,11 @@ SMOKE_VAL_BATCHES = 3
 class BaseTrainer:
     """Shared training engine; regime subclasses provide the step functions."""
 
+    # Optional index-gather step variant ``(state, images_full, idx, labels,
+    # key, lr, lr_mult)`` — set by regimes whose augmentation supports fused
+    # index gathering; the fused-epoch mixin uses it for zero-copy shuffles.
+    _train_core_indexed = None
+
     def __init__(
         self,
         config: ExperimentConfig,
@@ -232,7 +237,17 @@ class BaseTrainer:
             if self.config.dataset.aug_mode == "torchvision"
             else "train"
         )
-        return make_augment_fn(self.info.num_channels, mode, mesh=self.mesh)
+        # bf16-compute models cast the input at their first matmul, so the
+        # augmentation can emit bf16 directly — numerically identical, half
+        # the activation traffic out of the warp kernel.
+        out_dtype = (
+            jnp.bfloat16
+            if getattr(self.model, "dtype", None) == jnp.bfloat16
+            else None
+        )
+        return make_augment_fn(
+            self.info.num_channels, mode, mesh=self.mesh, out_dtype=out_dtype
+        )
 
     # -- per-epoch hooks (regime subclasses) ---------------------------------
 

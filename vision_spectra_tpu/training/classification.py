@@ -36,7 +36,7 @@ from vision_spectra_tpu.training.state import apply_updates
 from vision_spectra_tpu.utils.visualization import save_prediction_examples
 
 
-def make_classification_train_core(model, loss_fn, tx, augment):
+def make_classification_train_core(model, loss_fn, tx, augment, indexed=False):
     """The ONE classification step definition: ``train_core(state, images_u8,
     labels, key, lr, lr_mult) -> (state, stats[3])`` with the packed
     accumulator [loss_sum, correct, count].
@@ -45,12 +45,15 @@ def make_classification_train_core(model, loss_fn, tx, augment):
     step and fused-epoch scan (via ``ClassificationTrainer._train_core``) and
     the explicitly-sharded pjit step (parallel/train.py) — so the step
     semantics cannot drift between paths (VERDICT r1 item 5).
+
+    With ``indexed=True`` the returned core has signature ``(state,
+    images_full, idx, labels, key, lr, lr_mult)``: it augments
+    ``images_full[idx]`` via the augmentation's fused index-gather
+    (data/transforms.py ``indices=``), which the fused-epoch scan uses to
+    shuffle without materializing the shuffled split. Identical math.
     """
 
-    def train_core(state, images_u8, labels, key, lr, lr_mult):
-        k_aug, k_drop, k_mask = jax.random.split(key, 3)
-        images = augment(images_u8, k_aug)
-
+    def _step(state, images, labels, k_drop, k_mask, lr, lr_mult):
         def compute_loss(params):
             logits = model.apply(
                 {"params": params},
@@ -71,6 +74,17 @@ def make_classification_train_core(model, loss_fn, tx, augment):
         )
         return state, stats
 
+    if indexed:
+        def train_core(state, images_full, idx, labels, key, lr, lr_mult):
+            k_aug, k_drop, k_mask = jax.random.split(key, 3)
+            images = augment(images_full, k_aug, indices=idx)
+            return _step(state, images, labels, k_drop, k_mask, lr, lr_mult)
+    else:
+        def train_core(state, images_u8, labels, key, lr, lr_mult):
+            k_aug, k_drop, k_mask = jax.random.split(key, 3)
+            images = augment(images_u8, k_aug)
+            return _step(state, images, labels, k_drop, k_mask, lr, lr_mult)
+
     return train_core
 
 
@@ -82,8 +96,14 @@ class ClassificationTrainer(BaseTrainer):
         model = self.model
         num_classes = self.info.num_classes
         num_channels = self.info.num_channels
+        augment_fn = self._train_augment_fn()
         train_core = make_classification_train_core(
-            model, self.loss_fn, self.tx, self._train_augment_fn()
+            model, self.loss_fn, self.tx, augment_fn
+        )
+        # Index-gather variant for the fused-epoch shuffle (training/fused.py);
+        # train-mode augments accept ``indices``.
+        self._train_core_indexed = make_classification_train_core(
+            model, self.loss_fn, self.tx, augment_fn, indexed=True
         )
 
         @functools.partial(jax.jit, donate_argnums=(0, 6))

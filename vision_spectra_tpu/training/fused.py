@@ -53,6 +53,7 @@ def fuse_train_core(
     batch_size: int,
     stats_len: int,
     mesh: Any | None = None,
+    indexed: bool = False,
 ) -> Callable:
     """Fuse a per-step ``train_core`` into a whole-epoch device program.
 
@@ -67,6 +68,14 @@ def fuse_train_core(
     ``data`` axis (the split arrays themselves stay replicated — their length
     need not divide the device count), so every step inside the scan runs
     data-parallel with XLA's gradient all-reduce over ICI.
+
+    ``indexed=True`` selects the zero-copy shuffle: ``train_core`` then has
+    signature ``(state, images_full, idx, labels, key, lr, lr_mult)`` and
+    receives the untouched resident split plus this step's permutation slice
+    — the augmentation kernel DMAs each image by index (ops/aug_warp.py
+    ``gather_indices``), so the shuffled copy of the split (150+ MB at the
+    flagship scale) is never materialized. Identical math either way: output
+    row j augments ``images[order[j]]`` with row-j parameters.
     """
     batch_constraint = None
     if mesh is not None:
@@ -83,38 +92,64 @@ def fuse_train_core(
         lrs = jnp.broadcast_to(jnp.asarray(lrs, jnp.float32), (steps,))
         k_perm, k_steps = jax.random.split(key)
         order = jax.random.permutation(k_perm, n)[: steps * batch_size]
-        # One whole-array gather per epoch, then contiguous scan slices —
-        # per-batch random gathers inside the scan body are ~10x slower on TPU.
-        shuffled_images = jnp.take(images, order, axis=0).reshape(
-            steps, batch_size, *images.shape[1:]
-        )
         shuffled_labels = jnp.take(labels, order, axis=0).reshape(
             steps, batch_size
         )
         if batch_constraint is not None:
-            shuffled_images = jax.lax.with_sharding_constraint(
-                shuffled_images, batch_constraint
-            )
             shuffled_labels = jax.lax.with_sharding_constraint(
                 shuffled_labels, batch_constraint
             )
+        if indexed:
+            idxs = order.reshape(steps, batch_size)
+            if batch_constraint is not None:
+                idxs = jax.lax.with_sharding_constraint(idxs, batch_constraint)
 
-        def body(carry, step_inputs):
-            state, acc = carry
-            imgs, labs, lr, i = step_inputs
-            k = jax.random.fold_in(k_steps, i)
-            state, stats = train_core(state, imgs, labs, k, lr, lr_mult)
-            return (state, acc + stats), None
+            def body(carry, step_inputs):
+                state, acc = carry
+                idx, labs, lr, i = step_inputs
+                k = jax.random.fold_in(k_steps, i)
+                state, stats = train_core(
+                    state, images, idx, labs, k, lr, lr_mult
+                )
+                return (state, acc + stats), None
+
+            xs = (idxs, shuffled_labels, lrs, jnp.arange(steps))
+        else:
+            # One whole-array gather per epoch, then contiguous scan slices —
+            # per-batch random XLA gathers inside the scan body are ~10x
+            # slower on TPU (the indexed path above avoids the copy entirely).
+            shuffled_images = jnp.take(images, order, axis=0).reshape(
+                steps, batch_size, *images.shape[1:]
+            )
+            if batch_constraint is not None:
+                shuffled_images = jax.lax.with_sharding_constraint(
+                    shuffled_images, batch_constraint
+                )
+
+            def body(carry, step_inputs):
+                state, acc = carry
+                imgs, labs, lr, i = step_inputs
+                k = jax.random.fold_in(k_steps, i)
+                state, stats = train_core(state, imgs, labs, k, lr, lr_mult)
+                return (state, acc + stats), None
+
+            xs = (shuffled_images, shuffled_labels, lrs, jnp.arange(steps))
 
         acc0 = jnp.zeros((stats_len,), jnp.float32)
-        (state, acc), _ = jax.lax.scan(
-            body,
-            (state, acc0),
-            (shuffled_images, shuffled_labels, lrs, jnp.arange(steps)),
-        )
+        (state, acc), _ = jax.lax.scan(body, (state, acc0), xs)
         return state, acc
 
     return epoch_fn
+
+
+def _augment_supports_indices(augment_fn: Callable) -> bool:
+    """Whether ``augment_fn`` accepts the fused index-gather ``indices=``."""
+    import inspect
+
+    try:
+        return "indices" in inspect.signature(augment_fn).parameters
+    except (TypeError, ValueError):
+        return False
 
 
 def make_fused_epoch_fn(
@@ -125,22 +160,20 @@ def make_fused_epoch_fn(
     num_channels: int = 3,
     augment: bool = True,
     augment_fn: Callable | None = None,
+    indexed: bool | None = None,
 ) -> Callable:
     """Standalone classification fused epoch (used by the scenario runner and
     bench.py): ``epoch_fn(state, images, labels, key, lrs) -> (state, acc)``
     with the packed accumulator [loss_sum, correct, count]. ``lrs`` may be a
     scalar (constant-LR recipes) or a per-step array.
+
+    ``indexed=None`` auto-selects the zero-copy shuffle on geometries the
+    Pallas warp kernel serves (resolved per input shape at call time).
     """
     if augment_fn is None and augment:
         augment_fn = functools.partial(train_augment, num_channels=num_channels)
 
-    def core(state, imgs, labs, key, lr, lr_mult):
-        k_aug, k_drop = jax.random.split(key)
-        if augment_fn is not None:
-            x = augment_fn(imgs, k_aug)
-        else:
-            x = imgs.astype(jnp.float32)
-
+    def _step(state, x, labs, k_drop, lr, lr_mult):
         def compute_loss(params):
             logits = model.apply(
                 {"params": params},
@@ -161,7 +194,39 @@ def make_fused_epoch_fn(
         )
         return state, stats
 
-    return fuse_train_core(core, batch_size, stats_len=3)
+    def core(state, imgs, labs, key, lr, lr_mult):
+        k_aug, k_drop = jax.random.split(key)
+        if augment_fn is not None:
+            x = augment_fn(imgs, k_aug)
+        else:
+            x = imgs.astype(jnp.float32)
+        return _step(state, x, labs, k_drop, lr, lr_mult)
+
+    def core_indexed(state, images_full, idx, labs, key, lr, lr_mult):
+        k_aug, k_drop = jax.random.split(key)
+        x = augment_fn(images_full, k_aug, indices=idx)
+        return _step(state, x, labs, k_drop, lr, lr_mult)
+
+    can_index = augment_fn is not None and _augment_supports_indices(augment_fn)
+    fns: dict[bool, Callable] = {}
+
+    def epoch_fn(state, images, labels, key, lrs, lr_mult=None):
+        if indexed is None:
+            from vision_spectra_tpu.ops.aug_warp import use_pallas_warp
+
+            ix = can_index and use_pallas_warp(
+                (batch_size, *images.shape[1:])
+            )
+        else:
+            ix = bool(indexed) and can_index
+        if ix not in fns:
+            fns[ix] = fuse_train_core(
+                core_indexed if ix else core, batch_size, stats_len=3,
+                indexed=ix,
+            )
+        return fns[ix](state, images, labels, key, lrs, lr_mult)
+
+    return epoch_fn
 
 
 class FusedEpochMixin:
@@ -188,11 +253,21 @@ class FusedEpochMixin:
         else:
             self._train_images_dev = jax.device_put(split.images)
             self._train_labels_dev = jax.device_put(split.labels)
+        # Zero-copy shuffle whenever the regime has an indexed core and the
+        # Pallas warp kernel serves this geometry (otherwise the indexed
+        # fallback would pay a slow per-step XLA gather inside the scan).
+        from vision_spectra_tpu.ops.aug_warp import use_pallas_warp
+
+        bs = self.config.dataset.batch_size
+        indexed = self._train_core_indexed is not None and use_pallas_warp(
+            (bs, *split.images.shape[1:]), self.mesh
+        )
         self._fused_epoch = fuse_train_core(
-            self._train_core,
-            batch_size=self.config.dataset.batch_size,
+            self._train_core_indexed if indexed else self._train_core,
+            batch_size=bs,
             stats_len=self._stats_len,
             mesh=self.mesh,
+            indexed=indexed,
         )
 
     def train_epoch(self, epoch: int) -> dict[str, float]:
