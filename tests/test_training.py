@@ -459,6 +459,47 @@ class TestFusedRegimes:
             assert key in hist
         trainer.cleanup()
 
+    def test_multitask_indexed_core_matches_regular(self, tmp_path):
+        """The multitask zero-copy (index-gather) core is bit-identical to
+        augmenting the pre-gathered batch (same params, same stats)."""
+        import jax
+        import jax.numpy as jnp
+
+        from vision_spectra_tpu.training.multitask import MultitaskTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_mtl_indexed")
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        info = ds.get_info()
+        encoder = _build_encoder(cfg, info)
+        model = MultitaskViT(
+            encoder=encoder,
+            decoder_embed_dim=cfg.model.decoder_embed_dim,
+            decoder_depth=cfg.model.decoder_depth,
+            decoder_num_heads=2,
+            mask_ratio=0.5,
+        )
+        trainer = MultitaskTrainer(cfg, model, ds, get_loss(cfg.loss))
+        rng = np.random.RandomState(3)
+        full = jnp.asarray(
+            rng.randint(0, 256, (16, 28, 28, info.num_channels), dtype=np.uint8)
+        )
+        idx = jnp.asarray([5, 0, 11, 7], jnp.int32)
+        labels = jnp.asarray(rng.randint(0, info.num_classes, 4).astype(np.int32))
+        key = jax.random.key(9)
+        lr = jnp.float32(1e-3)
+
+        s_reg, st_reg = trainer._train_core(
+            trainer.state, jnp.take(full, idx, axis=0), labels, key, lr, None
+        )
+        s_idx, st_idx = trainer._train_core_indexed(
+            trainer.state, full, idx, labels, key, lr, None
+        )
+        np.testing.assert_array_equal(np.asarray(st_reg), np.asarray(st_idx))
+        for a, b in zip(jax.tree.leaves(s_reg.params),
+                        jax.tree.leaves(s_idx.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        trainer.cleanup()
+
     def test_fused_finetune_trainer(self, tmp_path):
         """Finetune fused path honors per-leaf LR multipliers (frozen encoder
         leaves stay bit-identical across a fused epoch)."""

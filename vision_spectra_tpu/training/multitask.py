@@ -45,13 +45,7 @@ class MultitaskTrainer(BaseTrainer):
 
         augment = self._train_augment_fn()
 
-        def train_core(state, images_u8, labels, key, lr, lr_mult):
-            """One multitask step; returns (state, stats[5]) with stats =
-            [total·n, cls·n, mim·n, correct, n]. Shared by the streaming step
-            and the fused-epoch scan (training/fused.py)."""
-            k_aug, k_drop, k_mask = jax.random.split(key, 3)
-            images = augment(images_u8, k_aug)
-
+        def _step(state, images, labels, k_drop, k_mask, lr, lr_mult):
             def compute_loss(params):
                 logits, mim_loss, _pred, _mask = model.apply(
                     {"params": params},
@@ -82,12 +76,29 @@ class MultitaskTrainer(BaseTrainer):
             )
             return state, stats
 
+        def train_core(state, images_u8, labels, key, lr, lr_mult):
+            """One multitask step; returns (state, stats[5]) with stats =
+            [total·n, cls·n, mim·n, correct, n]. Shared by the streaming step
+            and the fused-epoch scan (training/fused.py)."""
+            k_aug, k_drop, k_mask = jax.random.split(key, 3)
+            images = augment(images_u8, k_aug)
+            return _step(state, images, labels, k_drop, k_mask, lr, lr_mult)
+
+        def train_core_indexed(state, images_full, idx, labels, key, lr,
+                               lr_mult):
+            """Zero-copy fused-epoch variant: augments ``images_full[idx]``
+            via the augmentation's fused index-gather (identical math)."""
+            k_aug, k_drop, k_mask = jax.random.split(key, 3)
+            images = augment(images_full, k_aug, indices=idx)
+            return _step(state, images, labels, k_drop, k_mask, lr, lr_mult)
+
         @functools.partial(jax.jit, donate_argnums=(0, 6))
         def train_step(state, images_u8, labels, key, lr, lr_mult, acc):
             state, stats = train_core(state, images_u8, labels, key, lr, lr_mult)
             return state, acc + stats
 
         self._train_core = train_core
+        self._train_core_indexed = train_core_indexed
 
         @functools.partial(jax.jit, donate_argnums=(5,))
         def eval_step(state, images_u8, labels, mask, key, stats):
