@@ -266,7 +266,9 @@ def main() -> None:
 
     def mim_core(state, imgs, labs, key, lr_s, lr_mult):
         k_aug, k_drop, k_mask = jax.random.split(key, 3)
-        x = mim_augment(imgs, k_aug, num_channels=3, out_dtype=aug_dt)
+        # f32 aug output: the MIM reconstruction target is computed from the
+        # input, and the shipped trainers keep that objective in f32.
+        x = mim_augment(imgs, k_aug, num_channels=3)
 
         def loss_fn_(p):
             loss, _pred, _mask = mim.apply(
@@ -290,7 +292,8 @@ def main() -> None:
 
     def mtl_core(state, imgs, labs, key, lr_s, lr_mult):
         k_aug, k_drop, k_mask = jax.random.split(key, 3)
-        x = train_augment(imgs, k_aug, num_channels=3, out_dtype=aug_dt)
+        # f32 like the shipped MultitaskTrainer (MIM target stays f32).
+        x = train_augment(imgs, k_aug, num_channels=3)
 
         def loss_fn_(p):
             logits, mim_loss, _pred, _mask = mtl.apply(

@@ -52,7 +52,7 @@ class TestInitStatistics:
     def test_init_std_matches_torch_reference(self):
         """Sample std of the initializer equals torch's trunc_normal_ to
         within Monte-Carlo error (the distribution timm actually draws)."""
-        import torch
+        torch = pytest.importorskip("torch")
 
         from vision_spectra_tpu.models.vit import timm_trunc_normal
 

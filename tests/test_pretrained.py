@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-import torch
+
+# CPU torch is baked into the dev image but is NOT a package dependency;
+# skip (don't fail collection) where it is absent, e.g. a bare CI runner.
+torch = pytest.importorskip("torch")
 
 import jax
 import jax.numpy as jnp

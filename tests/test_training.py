@@ -459,6 +459,50 @@ class TestFusedRegimes:
             assert key in hist
         trainer.cleanup()
 
+    def test_aug_output_dtype_policy(self, tmp_path):
+        """bf16-compute models get bf16 augment output ONLY in regimes whose
+        loss never reads the input: the multitask MIM branch computes its
+        reconstruction target from the input, so it must stay f32 (a bf16
+        target would quantize the objective)."""
+        import jax.numpy as jnp
+
+        from vision_spectra_tpu.training.classification import (
+            ClassificationTrainer,
+        )
+        from vision_spectra_tpu.training.multitask import MultitaskTrainer
+
+        cfg = _tiny_config(tmp_path, name="test_aug_dtype")
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        info = ds.get_info()
+
+        def bf16_encoder():
+            model, _ = build_vit(
+                cfg.model.name, num_classes=info.num_classes,
+                num_channels=info.num_channels,
+                image_size=info.image_size[0],
+                embed_dim=cfg.model.embed_dim, depth=cfg.model.depth,
+                dtype=jnp.bfloat16,
+            )
+            return model
+
+        cls_tr = ClassificationTrainer(
+            cfg, bf16_encoder(), ds, get_loss(cfg.loss)
+        )
+        assert cls_tr._train_augment_fn().keywords["out_dtype"] == jnp.bfloat16
+        cls_tr.cleanup()
+
+        mtl = MultitaskViT(
+            encoder=bf16_encoder(),
+            decoder_embed_dim=cfg.model.decoder_embed_dim,
+            decoder_depth=cfg.model.decoder_depth,
+            decoder_num_heads=2,
+            mask_ratio=0.5,
+            dtype=jnp.bfloat16,
+        )
+        mtl_tr = MultitaskTrainer(cfg, mtl, ds, get_loss(cfg.loss))
+        assert mtl_tr._train_augment_fn().keywords["out_dtype"] is None
+        mtl_tr.cleanup()
+
     def test_multitask_indexed_core_matches_regular(self, tmp_path):
         """The multitask zero-copy (index-gather) core is bit-identical to
         augmenting the pre-gathered batch (same params, same stats)."""

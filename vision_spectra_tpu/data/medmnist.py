@@ -119,8 +119,27 @@ MEDMNIST_MD5: dict[str, str] = {
 }
 
 
+# Digest cache keyed by (path, size, mtime_ns): sweeps construct the dataset
+# once per seed, and re-hashing a ~200 MB archive 10x on the single slow CPU
+# core is pure waste. An edited file changes size/mtime and re-hashes.
+_DIGEST_CACHE: dict[tuple, dict] = {}
+
+
 def validate_medmnist_npz(path: Path, name: str) -> dict:
     """Validate a dropped-in MedMNIST v2 npz before use (VERDICT r1 item 2).
+
+    Thin wrapper over :func:`_validate_and_load` discarding the arrays —
+    callers that also need the data use that function directly so the
+    archive is decompressed exactly once.
+    """
+    digest, _ = _validate_and_load(path, name)
+    return digest
+
+
+def _validate_and_load(
+    path: Path, name: str
+) -> tuple[dict, dict[str, tuple[np.ndarray, np.ndarray]]]:
+    """Validate and load a MedMNIST v2 npz in ONE decompression pass.
 
     Checks, failing with a precise ValueError on the first violation:
 
@@ -130,7 +149,8 @@ def validate_medmnist_npz(path: Path, name: str) -> dict:
     - split sizes exactly the published v2 counts (89996/10004/7180 for
       pathmnist — a fingerprint no surrogate or truncated download matches).
 
-    Returns ``{"sha256": ..., "md5": ..., "md5_ok": ...}`` — the digests are
+    Returns ``(digest, {split: (images, labels)})`` with
+    ``digest = {"sha256": ..., "md5": ..., "md5_ok": ...}`` — the digests are
     logged so runs are attributable to an exact data artifact, and compared
     against :data:`MEDMNIST_MD5` when a published digest is known.
     """
@@ -138,6 +158,7 @@ def validate_medmnist_npz(path: Path, name: str) -> dict:
 
     meta = MEDMNIST_INFO[name]
     problems: list[str] = []
+    arrays: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     with np.load(path) as data:
         keys = set(data.files)
         for split in ("train", "val", "test"):
@@ -182,32 +203,39 @@ def validate_medmnist_npz(path: Path, name: str) -> dict:
                     f"{split}_labels range [{labels.min()}, {labels.max()}] "
                     f"outside [0, {meta['num_classes']})"
                 )
+            if not problems:
+                arrays[split] = (images, labels.reshape(-1))
     if problems:
         raise ValueError(
             f"{path} failed MedMNIST v2 schema validation for '{name}': "
             + "; ".join(problems)
         )
 
-    sha, md5 = hashlib.sha256(), hashlib.md5()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            sha.update(chunk)
-            md5.update(chunk)
-    digest = {"sha256": sha.hexdigest(), "md5": md5.hexdigest()}
-    expected = MEDMNIST_MD5.get(name)
-    digest["md5_ok"] = (expected is None) or (digest["md5"] == expected)
-    if expected and not digest["md5_ok"]:
-        logger.warning(
-            "%s md5 %s differs from the published MedMNIST v2 digest %s — "
-            "schema checks passed, so this is likely a newer v2.x re-upload; "
-            "verify provenance if numbers look off.",
-            path, digest["md5"], expected,
-        )
+    st = path.stat()
+    cache_key = (str(path), st.st_size, st.st_mtime_ns)
+    digest = _DIGEST_CACHE.get(cache_key)
+    if digest is None:
+        sha, md5 = hashlib.sha256(), hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                sha.update(chunk)
+                md5.update(chunk)
+        digest = {"sha256": sha.hexdigest(), "md5": md5.hexdigest()}
+        expected = MEDMNIST_MD5.get(name)
+        digest["md5_ok"] = (expected is None) or (digest["md5"] == expected)
+        if expected and not digest["md5_ok"]:
+            logger.warning(
+                "%s md5 %s differs from the published MedMNIST v2 digest %s — "
+                "schema checks passed, so this is likely a newer v2.x "
+                "re-upload; verify provenance if numbers look off.",
+                path, digest["md5"], expected,
+            )
+        _DIGEST_CACHE[cache_key] = digest
     logger.info(
         "Validated %s: schema OK, sha256=%s md5=%s",
         path, digest["sha256"], digest["md5"],
     )
-    return digest
+    return digest, arrays
 
 
 def _stratified_indices(
@@ -315,15 +343,14 @@ class MedMNISTDataset(BaseDataset):
         self.data_digest: dict | None = None
         if npz_path.exists():
             # Fail loud on a wrong/corrupt drop-in BEFORE any training
-            # consumes it; digests are logged for run provenance.
-            self.data_digest = validate_medmnist_npz(npz_path, name)
-            with np.load(npz_path) as data:
-                for split in ("train", "val", "test"):
-                    images = np.asarray(data[f"{split}_images"])
-                    labels = np.asarray(data[f"{split}_labels"]).reshape(-1)
-                    if images.ndim == 3:
-                        images = images[..., None]
-                    self._splits[split] = ArraySplit(images, labels)
+            # consumes it; digests are logged for run provenance. Validation
+            # and loading share ONE decompression pass (the archive is large
+            # and this host has a single slow core).
+            self.data_digest, arrays = _validate_and_load(npz_path, name)
+            for split, (images, labels) in arrays.items():
+                if images.ndim == 3:
+                    images = images[..., None]
+                self._splits[split] = ArraySplit(images, labels)
         else:
             self.surrogate = True
             logger.warning(

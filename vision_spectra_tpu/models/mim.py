@@ -81,7 +81,10 @@ def mim_reconstruction_loss(
     norm_pix_loss: bool = True,
 ) -> jnp.ndarray:
     """Masked-patch MSE with optional per-patch target normalization."""
-    target = patchify(imgs, patch_size)
+    # Target statistics always in f32: a bf16 input (e.g. a bench pipeline
+    # emitting bf16 from augmentation) must not push the per-patch mean/var/
+    # sqrt chain into bf16 — that would quantize the training objective.
+    target = patchify(imgs.astype(jnp.float32), patch_size)
     if norm_pix_loss:
         mean = target.mean(axis=-1, keepdims=True)
         var = target.var(axis=-1, keepdims=True)

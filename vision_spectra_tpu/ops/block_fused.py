@@ -48,7 +48,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["fused_vit_block", "use_fused_block", "TILE_ROWS"]
+__all__ = ["fused_vit_block", "kernel_serves", "TILE_ROWS"]
 
 TILE_ROWS = 256
 _LN_EPS = 1e-6
@@ -114,16 +114,6 @@ def kernel_serves(rows: int, n_tokens: int, embed_dim: int = 192) -> bool:
         not env_flag("VST_NO_FUSED_BLOCK")
         and embed_dim <= MAX_EMBED_DIM
         and select_tile(rows, n_tokens) is not None
-    )
-
-
-def use_fused_block(rows: int, n_tokens: int, embed_dim: int = 192) -> bool:
-    """Auto-gate: single-chip TPU (pallas_call is not GSPMD-partitionable,
-    so multi-device meshes keep the XLA path) + :func:`kernel_serves`."""
-    return (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and kernel_serves(rows, n_tokens, embed_dim)
     )
 
 

@@ -66,6 +66,12 @@ class BaseTrainer:
     # index gathering; the fused-epoch mixin uses it for zero-copy shuffles.
     _train_core_indexed = None
 
+    # Whether train augmentation may emit bf16 for bf16-compute models.
+    # True (bit-identical) when the input only feeds matmuls; regimes whose
+    # loss reads the input directly (MIM reconstruction target) override to
+    # False so the objective stays f32.
+    _aug_bf16_emit = True
+
     def __init__(
         self,
         config: ExperimentConfig,
@@ -239,10 +245,14 @@ class BaseTrainer:
         )
         # bf16-compute models cast the input at their first matmul, so the
         # augmentation can emit bf16 directly — numerically identical, half
-        # the activation traffic out of the warp kernel.
+        # the activation traffic out of the warp kernel. Regimes that ALSO
+        # feed the input to a reconstruction loss (`_aug_bf16_emit = False`)
+        # must keep f32: the MIM target (patchify + per-patch norm) would
+        # otherwise be quantized, changing the training objective.
         out_dtype = (
             jnp.bfloat16
-            if getattr(self.model, "dtype", None) == jnp.bfloat16
+            if self._aug_bf16_emit
+            and getattr(self.model, "dtype", None) == jnp.bfloat16
             else None
         )
         return make_augment_fn(

@@ -33,6 +33,12 @@ class MultitaskTrainer(BaseTrainer):
     # Packed device accumulator layout: [total·n, cls·n, mim·n, correct, n].
     _stats_len = 5
 
+    # The MIM branch computes its reconstruction target from the model input
+    # (models/mim.py:mim_reconstruction_loss); bf16 input would quantize the
+    # per-patch normalized target and change the objective, so the augment
+    # output stays f32 here (reference computes the target in f32).
+    _aug_bf16_emit = False
+
     def _build_step_fns(self) -> None:
         model = self.model
         loss_fn = self.loss_fn

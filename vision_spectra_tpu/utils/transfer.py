@@ -12,6 +12,7 @@ path (seconds). Rules encoded here:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -19,6 +20,20 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["host_scalar", "fetch_pytree"]
+
+
+@functools.lru_cache(maxsize=None)
+def _packer(rep_sharding):
+    """One cached jitted flatten-concat per replicated output sharding.
+
+    A fresh ``jax.jit(lambda ...)`` per call would defeat the jit cache and
+    re-trace/recompile the all-gather program on every fetch — compiles are
+    the expensive resource on the tunneled attachment."""
+
+    def pack(*xs):
+        return jnp.concatenate([jnp.reshape(x, (max(1, x.size),)) for x in xs])
+
+    return jax.jit(pack, out_shardings=rep_sharding)
 
 
 def host_scalar(x) -> float:
@@ -45,14 +60,7 @@ def _pack_sharded_group(leaves: list, idxs: list[int], out: list) -> None:
     mesh = leaves[idxs[0]].sharding.mesh
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     group = [leaves[i] for i in idxs]
-    packed = np.asarray(
-        jax.jit(
-            lambda *xs: jnp.concatenate(
-                [jnp.reshape(x, (max(1, x.size),)) for x in xs]
-            ),
-            out_shardings=rep,
-        )(*group)
-    )  # one fetch
+    packed = np.asarray(_packer(rep)(*group))  # one fetch
     offset = 0
     for i, leaf in zip(idxs, group):
         size = max(1, leaf.size)
