@@ -221,6 +221,24 @@ class TestAugWarpKernel:
             rng.randint(0, 256, size=(b, h, w, c), dtype=np.uint8)
         )
 
+    def test_gate_rejects_tensor_parallel_only_mesh(self, monkeypatch):
+        """A data=1/model=N mesh must keep the XLA path: warp_augment only
+        wraps in shard_map when the DATA axis is sharded, and a bare
+        pallas_call inside a multi-device program is not
+        GSPMD-partitionable. (Backend monkeypatched: the mesh rule is
+        otherwise unreachable on CPU where the gate exits early.)"""
+        from vision_spectra_tpu.ops.aug_warp import use_pallas_warp
+        from vision_spectra_tpu.parallel.mesh import make_mesh
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        shape = (64, 28, 28, 3)
+        assert not use_pallas_warp(shape, make_mesh(data_axis=1, model_axis=8))
+        assert use_pallas_warp(shape, make_mesh(data_axis=8, model_axis=1))
+        # data-sharded but indivisible per-shard batch: XLA path too
+        assert not use_pallas_warp(
+            (60, 28, 28, 3), make_mesh(data_axis=8, model_axis=1)
+        )
+
     def test_composed_nearest_equals_two_pass(self):
         """One composed warp == the literal two-resample torchvision recipe,
         bit-for-bit (the intermediate is only sampled at integer coords)."""
