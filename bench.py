@@ -23,6 +23,26 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+    import threading
+
+    # Fail FAST if the tunneled TPU is unreachable: backend init wedges
+    # indefinitely when the axon tunnel is down (observed multi-hour
+    # outages), and a hung bench is worse than a clean error. 300 s is
+    # generous for import + backend registration + one tiny roundtrip.
+    backend_up = threading.Event()
+
+    def _watchdog() -> None:
+        if not backend_up.wait(300):
+            print(
+                "bench: device backend unresponsive after 300 s (tunnel "
+                "down?) — aborting without a measurement",
+                file=sys.stderr,
+            )
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from vision_spectra_tpu.core.runtime import enable_compilation_cache
 
     enable_compilation_cache()
@@ -49,6 +69,8 @@ def main() -> None:
 
     platform = jax.default_backend()
     n_devices = len(jax.devices())
+    np.asarray(jnp.ones((1,)))  # one tiny roundtrip proves the link works
+    backend_up.set()
     print(f"bench platform={platform} devices={n_devices}", file=sys.stderr)
 
     # 8192 is the single-chip throughput sweet spot for this model (measured
