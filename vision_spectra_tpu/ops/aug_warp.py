@@ -64,12 +64,16 @@ def use_pallas_warp(shape: tuple[int, ...], mesh=None) -> bool:
     b, h, w, c = shape
     if jax.default_backend() != "tpu":
         return False
-    if jax.device_count() > 1 or mesh is not None:
+    if jax.device_count() > 1 or (mesh is not None and mesh.size > 1):
         if mesh is None:
             return False
         from vision_spectra_tpu.parallel.mesh import DATA_AXIS
 
-        if b % mesh.shape[DATA_AXIS]:
+        # warp_augment only wraps in shard_map when the DATA axis is sharded;
+        # a tensor-parallel-only mesh (data=1, model=N) would otherwise reach
+        # a bare pallas_call inside a multi-device program — not
+        # GSPMD-partitionable. Keep the XLA path there.
+        if mesh.shape[DATA_AXIS] <= 1 or b % mesh.shape[DATA_AXIS]:
             return False
     # VMEM budget: weight matrices are [H, H*W] and [W, H*W] f32; 64 px
     # (4096-lane) images use ~2 MB — beyond that the XLA gather path wins.
