@@ -184,24 +184,18 @@ def main() -> None:
     state2 = TrainState.create(params2, tx)
     state2, acc = epoch_fn(state2, images_dev, labels_dev, jax.random.key(0), lr)
     np.asarray(acc)  # compile + warm (value fetch = honest sync)
-    # 8-epoch window (~1.4 s): 3 epochs left the headline ~±7% noisy against
-    # the ~32 ms tunnel sync.
+    # 8-epoch window (~1.1 s): 3 epochs left the headline ~±7% noisy against
+    # the ~32 ms tunnel sync. ONE value fetch after the window — a per-epoch
+    # fetch would add the full tunnel round trip (~32 ms, +25%) to every
+    # epoch inside the timed region.
     n_epochs = 8
-    epoch_times = []
     t0 = time.perf_counter()
     for e in range(n_epochs):
-        te = time.perf_counter()
         state2, acc = epoch_fn(
             state2, images_dev, labels_dev, jax.random.key(e + 1), lr
         )
-        acc_np = np.asarray(acc)
-        epoch_times.append(time.perf_counter() - te)
+    acc_np = np.asarray(acc)
     dt = time.perf_counter() - t0
-    print(
-        "fused epoch times: "
-        + " ".join(f"{t*1e3:.0f}ms" for t in epoch_times),
-        file=sys.stderr,
-    )
     fused_per_sec = n_epochs * (n_fused // batch_size) * batch_size / dt
     per_chip = fused_per_sec / max(1, n_devices)
     print(
