@@ -255,8 +255,13 @@ class TestAugWarpKernel:
             np.asarray(composed), np.asarray(twopass), rtol=0, atol=1e-5
         )
 
-    @pytest.mark.parametrize("c", [1, 3])
-    def test_kernel_nearest_matches_xla(self, c):
+    @pytest.mark.parametrize(
+        "c,b",
+        [(1, 4), (3, 4), (3, 32)],  # b=32 exercises the full 32-image
+        # group (channel-major packing at full width); b=4 the small-batch
+        # group fallback
+    )
+    def test_kernel_nearest_matches_xla(self, c, b):
         """Kernel (torchvision mode) == XLA composed path, same params."""
         from vision_spectra_tpu.data.transforms import (
             _color_jitter_shuffled,
@@ -268,7 +273,7 @@ class TestAugWarpKernel:
         )
         from vision_spectra_tpu.ops.aug_warp import warp_augment
 
-        imgs = self._batch(b=4, c=c, seed=2)
+        imgs = self._batch(b=b, c=c, seed=2)
         b, h, w, _ = imgs.shape
         key = jax.random.key(7)
         rot, aff, k_color = _ref_warp_mats(key, b, h, w)
