@@ -26,7 +26,10 @@ def model_and_state():
     )
     x = jnp.zeros((1, 28, 28, 3))
     params = model.init(jax.random.key(0), x)["params"]
-    tx = make_optimizer(OptimizerConfig(), gradient_clip=1.0)
+    # flat=False: these fixtures also drive tensor-parallel meshes, where
+    # production (training/base.py) selects the per-leaf optax chain — a
+    # flat [P] moment buffer cannot mirror per-leaf TP shardings.
+    tx = make_optimizer(OptimizerConfig(), gradient_clip=1.0, flat=False)
     return model, TrainState.create(params, tx), tx
 
 

@@ -3,6 +3,8 @@
 Mirrors reference tests/test_training.py plus schedule/metric unit tests.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -680,3 +682,104 @@ class TestKeepTopK:
         assert epoch_ckpts == ["epoch_0004.msgpack", "epoch_0005.msgpack"]
         assert "best.msgpack" in ckpts
         trainer.cleanup()
+
+
+class TestFlatAdamW:
+    """Flat-buffer AdamW vs the per-leaf optax chain (training/state.py).
+
+    The flat implementation must be a drop-in: same trajectories to f32
+    rounding (only the global-norm reduction grouping differs), same
+    lr_mult semantics, same factory dispatch.
+    """
+
+    def _tree(self, seed=0):
+        rng = np.random.RandomState(seed)
+        return {
+            "dense": {"kernel": jnp.asarray(rng.randn(16, 8), jnp.float32),
+                      "bias": jnp.asarray(rng.randn(8), jnp.float32)},
+            "norm": {"scale": jnp.asarray(rng.randn(16), jnp.float32)},
+        }
+
+    def _run(self, tx, params, grads_seq, lr, lr_mult=None):
+        from vision_spectra_tpu.training.state import TrainState, apply_updates
+
+        state = TrainState.create(jax.tree.map(jnp.array, params), tx)
+        for g in grads_seq:
+            state = apply_updates(state, g, tx, lr, lr_mult)
+        return jax.tree.map(np.asarray, state.params)
+
+    @pytest.mark.parametrize("clip,scale", [(1.0, 1.0), (0.05, 40.0), (0.0, 1.0)])
+    def test_matches_optax_chain(self, clip, scale):
+        """5 steps of flat AdamW == 5 steps of the optax chain (both below
+        and above the clip threshold, and with clipping disabled)."""
+        from vision_spectra_tpu.config import OptimizerConfig
+        from vision_spectra_tpu.training.state import FlatAdamW, make_optimizer
+
+        cfg = OptimizerConfig()  # adamw, wd per config default
+        params = self._tree()
+        grads_seq = [
+            jax.tree.map(
+                lambda p, i=i: jnp.asarray(
+                    np.random.RandomState(10 + i).randn(*p.shape) * scale,
+                    jnp.float32,
+                ),
+                params,
+            )
+            for i in range(5)
+        ]
+        flat = make_optimizer(cfg, gradient_clip=clip)
+        assert isinstance(flat, FlatAdamW)
+        chain = make_optimizer(cfg, gradient_clip=clip, flat=False)
+        out_flat = self._run(flat, params, grads_seq, jnp.float32(1e-2))
+        out_chain = self._run(chain, params, grads_seq, jnp.float32(1e-2))
+        for kf, kc in zip(jax.tree.leaves(out_flat), jax.tree.leaves(out_chain)):
+            np.testing.assert_allclose(kf, kc, rtol=2e-6, atol=2e-7)
+
+    def test_lr_mult_matches_optax(self):
+        """Per-leaf multipliers (incl. a frozen 0.0 leaf) match the chain."""
+        from vision_spectra_tpu.config import OptimizerConfig
+        from vision_spectra_tpu.training.state import make_optimizer
+
+        cfg = OptimizerConfig()
+        params = self._tree(1)
+        grads = [jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.RandomState(3).randn(*p.shape), jnp.float32),
+            params,
+        )]
+        lr_mult = {"dense": {"kernel": 0.1, "bias": 0.0}, "norm": {"scale": 1.0}}
+        out_flat = self._run(
+            make_optimizer(cfg, 1.0), params, grads, jnp.float32(1e-2), lr_mult
+        )
+        out_chain = self._run(
+            make_optimizer(cfg, 1.0, flat=False), params, grads,
+            jnp.float32(1e-2), lr_mult,
+        )
+        for kf, kc in zip(jax.tree.leaves(out_flat), jax.tree.leaves(out_chain)):
+            np.testing.assert_allclose(kf, kc, rtol=2e-6, atol=2e-7)
+        # The frozen leaf must be bit-identical to its initial value.
+        np.testing.assert_array_equal(
+            out_flat["dense"]["bias"], np.asarray(params["dense"]["bias"])
+        )
+
+    def test_factory_dispatch(self):
+        """adamw/adam -> FlatAdamW (flat default); sgd and flat=False -> optax."""
+        import optax
+
+        from vision_spectra_tpu.config import OptimizerConfig, OptimizerName
+        from vision_spectra_tpu.training.state import FlatAdamW, make_optimizer
+
+        assert isinstance(make_optimizer(OptimizerConfig(), 1.0), FlatAdamW)
+        adam = make_optimizer(
+            OptimizerConfig(name=OptimizerName.ADAM, weight_decay=0.1), 0.0
+        )
+        assert isinstance(adam, FlatAdamW)
+        assert adam.weight_decay == 0.0  # reference adam branch ignores wd
+        assert isinstance(
+            make_optimizer(OptimizerConfig(), 1.0, flat=False),
+            optax.GradientTransformation,
+        )
+        assert isinstance(
+            make_optimizer(OptimizerConfig(name=OptimizerName.SGD), 1.0),
+            optax.GradientTransformation,
+        )

@@ -190,7 +190,10 @@ class BaseTrainer:
         variables = self.model.init(self._init_rngs(), sample)
         params = self._maybe_import_pretrained(variables["params"])
         self.tx = make_optimizer(
-            self.config.optimizer, self.config.training.gradient_clip
+            self.config.optimizer,
+            self.config.training.gradient_clip,
+            # Flat moment buffers cannot mirror per-leaf TP shardings.
+            flat=self.mesh is None or self.mesh.shape["model"] <= 1,
         )
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         logger.info("Model initialized: %s parameters", f"{n_params:,}")

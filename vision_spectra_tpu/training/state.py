@@ -1,11 +1,22 @@
 """Train state and optimizer construction.
 
-The optimizer is an optax transform chain **without** a learning-rate scale:
-``clip_by_global_norm → scale_by_adam/sgd → add_decayed_weights``; the jitted
-train step applies ``param -= lr · mult · update`` where ``lr`` is a traced
-scalar from the host scheduler (see training/schedules.py) and ``mult`` is an
-optional per-leaf multiplier pytree (layer-wise LR for finetuning, 0.0 for
-frozen subtrees — reference: training/finetune.py:102-155).
+The optimizer semantics are the reference chain **without** a learning-rate
+scale: ``clip_by_global_norm → scale_by_adam/sgd → add_decayed_weights``; the
+jitted train step applies ``param -= lr · mult · update`` where ``lr`` is a
+traced scalar from the host scheduler (see training/schedules.py) and
+``mult`` is an optional per-leaf multiplier pytree (layer-wise LR for
+finetuning, 0.0 for frozen subtrees — reference: training/finetune.py:102-155).
+
+Adam/AdamW run on a FLAT [P] buffer by default (:class:`FlatAdamW`): the
+per-leaf optax chain emits ~5 small fused ops for each of a ViT's ~150
+parameter leaves, and on TPU that per-op sequencing overhead measured
+3.1 ms/step (19% of the flagship fused train step) against ~0.25 ms of
+actual HBM traffic. Raveling grads/params once and updating a single [P]
+vector replaces ~750 small ops with a handful of full-width passes.
+Per-element math is identical to the optax chain; only reduction grouping
+(the global-norm sum order) differs, at f32 rounding level. The optax chain
+remains for SGD and for tensor-parallel meshes, where parameter leaves carry
+heterogeneous shardings that a flat buffer cannot represent.
 
 Reference optimizer factory: training/base.py:110-137 (adam / adamw / sgd
 with betas, momentum, weight decay).
@@ -19,6 +30,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 from vision_spectra_tpu.config import OptimizerConfig, OptimizerName
 
@@ -40,14 +52,108 @@ class TrainState:
         )
 
 
+@flax.struct.dataclass
+class FlatAdamWState:
+    """Adam moments as single flat [P] vectors (leaf order = tree order)."""
+
+    count: jnp.ndarray  # int32 scalar
+    mu: jnp.ndarray  # [P] float32
+    nu: jnp.ndarray  # [P] float32
+
+
+class FlatAdamW:
+    """Adam/AdamW (+ optional global-norm clip) on one raveled [P] buffer.
+
+    Same math as ``clip_by_global_norm → scale_by_adam →
+    add_decayed_weights`` followed by ``param -= lr · mult · update`` (see
+    module docstring for why it exists). ``init``/``step`` mirror the
+    ``tx.init`` / :func:`apply_updates` call sites so trainers don't care
+    which implementation they got.
+    """
+
+    def __init__(self, b1: float, b2: float, eps: float = 1e-8,
+                 weight_decay: float = 0.0, gradient_clip: float = 0.0):
+        self.b1 = float(b1)
+        self.b2 = float(b2)
+        self.eps = float(eps)
+        self.weight_decay = float(weight_decay)
+        self.gradient_clip = float(gradient_clip)
+
+    def init(self, params: Any) -> FlatAdamWState:
+        flat, _ = ravel_pytree(params)
+        # mu and nu must be DISTINCT buffers: trainers donate the whole
+        # state into the jitted step, and aliased leaves would be donated
+        # twice (JAX rejects `f(donate(a), donate(a))`).
+        return FlatAdamWState(
+            jnp.zeros((), jnp.int32),
+            jnp.zeros(flat.shape, jnp.float32),
+            jnp.zeros(flat.shape, jnp.float32),
+        )
+
+    def step(
+        self,
+        state: "TrainState",
+        grads: Any,
+        lr: jnp.ndarray,
+        lr_mult: Any | None = None,
+    ) -> "TrainState":
+        g, _ = ravel_pytree(grads)
+        g = g.astype(jnp.float32)
+        p, unravel = ravel_pytree(state.params)
+        opt: FlatAdamWState = state.opt_state
+        if self.gradient_clip > 0:
+            # optax.clip_by_global_norm semantics (same op order): rescale
+            # as (g / norm) * max_norm only when norm >= max_norm.
+            norm = jnp.sqrt(jnp.sum(g * g))
+            g = jnp.where(
+                norm < self.gradient_clip, g, (g / norm) * self.gradient_clip
+            )
+        count = opt.count + 1
+        mu = self.b1 * opt.mu + (1.0 - self.b1) * g
+        nu = self.b2 * opt.nu + (1.0 - self.b2) * (g * g)
+        t = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - self.b1**t)
+        nu_hat = nu / (1.0 - self.b2**t)
+        u = mu_hat / (jnp.sqrt(nu_hat) + self.eps)
+        if self.weight_decay > 0:
+            u = u + self.weight_decay * p
+        if lr_mult is not None:
+            mult, _ = ravel_pytree(jax.tree.map(
+                lambda leaf, m: jnp.full(leaf.shape, m, jnp.float32),
+                state.params, lr_mult,
+            ))
+            u = u * mult
+        new_params = unravel(p - lr * u)
+        return state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=FlatAdamWState(count, mu, nu),
+        )
+
+
 def make_optimizer(
-    config: OptimizerConfig, gradient_clip: float = 0.0
-) -> optax.GradientTransformation:
-    """Build the lr-free transform chain for the configured optimizer."""
+    config: OptimizerConfig, gradient_clip: float = 0.0, flat: bool = True
+) -> optax.GradientTransformation | FlatAdamW:
+    """Build the lr-free transform for the configured optimizer.
+
+    ``flat=True`` (default) selects :class:`FlatAdamW` for adam/adamw —
+    pass ``flat=False`` on tensor-parallel meshes (model axis > 1), whose
+    per-leaf parameter shardings a flat moment buffer cannot mirror. SGD
+    always uses the optax chain.
+    """
+    name = config.name
+    if flat and name in (OptimizerName.ADAMW, OptimizerName.ADAM):
+        return FlatAdamW(
+            b1=config.betas[0],
+            b2=config.betas[1],
+            weight_decay=(
+                config.weight_decay if name == OptimizerName.ADAMW else 0.0
+            ),
+            gradient_clip=gradient_clip,
+        )
     parts: list[optax.GradientTransformation] = []
     if gradient_clip and gradient_clip > 0:
         parts.append(optax.clip_by_global_norm(gradient_clip))
-    name = config.name
     if name == OptimizerName.ADAMW:
         parts.append(optax.scale_by_adam(b1=config.betas[0], b2=config.betas[1]))
         if config.weight_decay > 0:
@@ -67,11 +173,13 @@ def make_optimizer(
 def apply_updates(
     state: TrainState,
     grads: Any,
-    tx: optax.GradientTransformation,
+    tx: optax.GradientTransformation | FlatAdamW,
     lr: jnp.ndarray,
     lr_mult: Any | None = None,
 ) -> TrainState:
     """One optimizer step with traced LR and optional per-leaf multipliers."""
+    if isinstance(tx, FlatAdamW):
+        return tx.step(state, grads, lr, lr_mult)
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     if lr_mult is None:
         updates = jax.tree.map(lambda u: -lr * u, updates)
