@@ -9,14 +9,18 @@ finetuning, 0.0 for frozen subtrees — reference: training/finetune.py:102-155)
 
 Adam/AdamW run on a FLAT [P] buffer by default (:class:`FlatAdamW`): the
 per-leaf optax chain emits ~5 small fused ops for each of a ViT's ~150
-parameter leaves, and on TPU that per-op sequencing overhead measured
-3.1 ms/step (19% of the flagship fused train step) against ~0.25 ms of
-actual HBM traffic. Raveling grads/params once and updating a single [P]
-vector replaces ~750 small ops with a handful of full-width passes.
-Per-element math is identical to the optax chain; only reduction grouping
-(the global-norm sum order) differs, at f32 rounding level. The optax chain
-remains for SGD and for tensor-parallel meshes, where parameter leaves carry
-heterogeneous shardings that a flat buffer cannot represent.
+parameter leaves — measured 2.4–3.1 ms in isolation on TPU against ~0.25 ms
+of actual HBM traffic. The flat form cuts that to ~2.1 ms (the remaining
+cost is the one ravel/unravel of the ~150-leaf tree). NOTE the honest
+end-to-end picture: inside the full fused train step XLA overlaps the
+optimizer with the backward pass (full step ≈ aug + fwd/bwd on the flagship
+geometry), so the flat buffer's step-level win is small; it is kept for the
+shorter HLO (fewer ops to schedule/compile) and the 2-leaf moment state
+(cheaper tunnel fetches and checkpoint round-trips). Per-element math is
+identical to the optax chain; only reduction grouping (the global-norm sum
+order) differs, at f32 rounding level. The optax chain remains for SGD and
+for tensor-parallel meshes, where parameter leaves carry heterogeneous
+shardings that a flat buffer cannot represent.
 
 Reference optimizer factory: training/base.py:110-137 (adam / adamw / sgd
 with betas, momentum, weight decay).
