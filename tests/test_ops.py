@@ -543,12 +543,27 @@ class TestFusedBlock:
         assert kernel_serves(rows=800, n_tokens=50)
         assert not kernel_serves(rows=512, n_tokens=2, embed_dim=768)
 
-    def test_erf_matches_lax(self):
-        from vision_spectra_tpu.ops.block_fused import _erf
+    def test_gelu_matches_exact(self):
+        """The kernel's tanh-form GELU matches exact erf-GELU to 1e-5
+        (claimed 5.9e-6 max over [-12, 12]; bf16 resolution is ~4e-3),
+        including the saturated tails."""
+        from vision_spectra_tpu.ops.block_fused import _gelu
 
-        x = jnp.linspace(-4.0, 4.0, 301)
+        u = jnp.linspace(-30.0, 30.0, 60001)
+        exact = u * 0.5 * (1.0 + jax.lax.erf(u * 0.7071067811865476))
         np.testing.assert_allclose(
-            np.asarray(_erf(x)), np.asarray(jax.lax.erf(x)), atol=1e-6
+            np.asarray(_gelu(u)), np.asarray(exact), atol=1e-5
+        )
+
+    def test_dgelu_is_forward_derivative(self):
+        """_dgelu is the exact derivative of the _gelu actually computed
+        (gradient consistency), checked against autodiff of _gelu."""
+        from vision_spectra_tpu.ops.block_fused import _dgelu, _gelu
+
+        u = jnp.linspace(-8.0, 8.0, 4001)
+        autodiff = jax.vmap(jax.grad(lambda v: _gelu(v)))(u)
+        np.testing.assert_allclose(
+            np.asarray(_dgelu(u)), np.asarray(autodiff), rtol=1e-5, atol=1e-6
         )
 
 

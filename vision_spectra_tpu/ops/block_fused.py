@@ -19,10 +19,11 @@ becomes, per head, a 2-way softmax between a row and its partner row:
     out[r] = softmax2(s)·(v[r], v[partner(r)])
 
 The per-head inner products are computed as elementwise products reduced
-within 64-lane head groups by a block-diagonal ones matrix G (one small f32
-MXU matmul), keeping every operand in the native [rows, E] lane layout — no
-head-split reshapes or transposes. ``partner`` is a ±1 row roll selected by
-row parity (pairs never straddle the even row tile).
+within 64-lane head groups by a block-diagonal ones matrix G (one small
+bf16 MXU matmul with f32 accumulation), keeping every operand in the native
+[rows, E] lane layout — no head-split reshapes or transposes. ``partner``
+is a ±1 row roll selected by row parity (pairs never straddle the even row
+tile).
 
 The backward pass recomputes the forward per tile (flash-style — the only
 residual is the block input) and accumulates weight gradients across the
@@ -35,7 +36,8 @@ run_spectral_analysis.py:244-289).
 
 Numerics match the XLA block to bf16 tolerance: LN statistics and softmax
 in f32 (flax LayerNorm semantics: fast variance, eps 1e-6, f32 stats),
-matmuls in bf16 with f32 accumulation, GELU exact (erf). The kernel keeps
+matmuls in bf16 with f32 accumulation, GELU a tanh-form approximant of the
+exact erf GELU accurate to 5.9e-6 (~3 orders below bf16). The kernel keeps
 the intra-block residual in f32 and rounds once at the block boundary
 (the XLA path rounds after each residual add), a strictly tighter rounding.
 """
@@ -157,16 +159,27 @@ def _partner(x):
 
 
 def _group_matrix(e: int, d: int):
-    """f32 [E, E] block-diagonal ones: G[i, j] = (i // d == j // d)."""
+    """bf16 [E, E] block-diagonal ones: G[i, j] = (i // d == j // d).
+
+    bf16 holds 0/1 exactly, and a bf16 contraction runs at native MXU rate
+    where the earlier f32 form decomposed into multi-pass matmuls —
+    measured ~4x on the attention share of the block kernel. The ``prod``
+    operand is rounded to bf16 (see :func:`_group_sum`)."""
     gi = jax.lax.broadcasted_iota(jnp.int32, (e, e), 0) // d
     gj = jax.lax.broadcasted_iota(jnp.int32, (e, e), 1) // d
-    return (gi == gj).astype(jnp.float32)
+    return (gi == gj).astype(jnp.bfloat16)
 
 
 def _group_sum(prod, g_mat):
-    """Per-head sums of ``prod`` [T, E], broadcast back over head lanes."""
+    """Per-head sums of ``prod`` [T, E], broadcast back over head lanes.
+
+    ``prod`` is rounded to bf16 for the contraction (f32 accumulation):
+    per-term rounding is 2^-8 relative and the 64-lane head sum stays in
+    f32 — the same precision class as the XLA attention path, whose
+    q·k scores are bf16-input matmuls with f32 accumulation."""
     return jax.lax.dot_general(
-        prod, g_mat, dimension_numbers=(((1,), (0,)), ((), ())),
+        prod.astype(jnp.bfloat16), g_mat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -198,30 +211,47 @@ def _mm_grad(act, cot):
     )
 
 
-_INV_SQRT2 = 0.7071067811865476
-_INV_SQRT_2PI = 0.3989422804014327
+# GELU as tanh of an odd degree-9 polynomial: gelu(u) = 0.5*u*(1+tanh(g(u)))
+# with g fitted to atanh(erf(u/sqrt2)) (iteratively reweighted LS on the
+# Phi error). Max |gelu - exact erf-GELU| = 5.9e-6 over [-12, 12], tails
+# saturate correctly (poly -> +/-inf, tanh -> +/-1) — the same exactness
+# class as the Abramowitz–Stegun erf this replaces (1.5e-7) and ~3 orders
+# below bf16 resolution, but it lowers to ONE transcendental (tanh) + 5
+# FMAs instead of exp + divide + sign select. Measured on v5e at batch
+# 8192: the erf form cost 0.74 ms per 12-block forward above the matmul
+# floor; this form hides entirely under the MXU matmuls (tests assert the
+# 1e-5 accuracy — tests/test_ops.py::test_gelu_matches_exact).
+_G1 = 7.978697129688e-01
+_G3 = 3.639228417463e-02
+_G5 = -8.782516177129e-05
+_G7 = -3.669374625266e-05
+_G9 = 1.425024707264e-06
 
 
-def _erf(x):
-    """erf via Abramowitz–Stegun 7.1.26 (|error| <= 1.5e-7, far below bf16
-    resolution) — Mosaic has no erf primitive, but exp lowers fine."""
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+def _gelu_t(u):
+    """tanh(g(u)) — the one transcendental, shared by gelu and dgelu."""
+    u2 = u * u
+    g = u * (_G1 + u2 * (_G3 + u2 * (_G5 + u2 * (_G7 + u2 * _G9))))
+    return jnp.tanh(g)
 
 
-def _gelu(u):
-    """Exact GELU (approximate=False): u * Phi(u)."""
-    return u * 0.5 * (1.0 + _erf(u * _INV_SQRT2))
+def _gelu(u, t=None):
+    """GELU(u) = u * Phi(u); pass a precomputed ``t = _gelu_t(u)`` to share
+    the transcendental with :func:`_dgelu` (backward recompute)."""
+    if t is None:
+        t = _gelu_t(u)
+    return 0.5 * u * (1.0 + t)
 
 
-def _dgelu(u):
-    """d/du exact GELU: Phi(u) + u * phi(u)."""
-    phi = jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
-    return 0.5 * (1.0 + _erf(u * _INV_SQRT2)) + u * phi
+def _dgelu(u, t=None):
+    """d/du of the computed GELU — the exact derivative of the tanh-form
+    approximant (gradient consistent with the forward actually used)."""
+    if t is None:
+        t = _gelu_t(u)
+    u2 = u * u
+    dg = _G1 + u2 * (3 * _G3 + u2 * (
+        5 * _G5 + u2 * (7 * _G7 + u2 * (9 * _G9))))
+    return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * dg
 
 
 def _attn_fwd(q, k, v, g_mat, scale):
@@ -367,11 +397,12 @@ def _fwd_body(x, params, m1, m2, e, heads, n):
     x_mid = x + m1 * p
     y2 = _ln_fwd(x_mid, ln2s, ln2b)
     u = _mm(y2, w1) + b1
-    h = _gelu(u)
+    tg = _gelu_t(u)
+    h = _gelu(u, tg)
     o = _mm(h, w2) + b2
     x_out = x_mid + m2 * o
     return dict(y1=y1, q=q, k=k, v=v, ao=ao, a_s=a_s, a_c=a_c, pk=pk,
-                pv=pv, x_mid=x_mid, y2=y2, u=u, h=h, x_out=x_out,
+                pv=pv, x_mid=x_mid, y2=y2, u=u, h=h, tg=tg, x_out=x_out,
                 g_mat=g_mat, scale=scale)
 
 
@@ -414,7 +445,7 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype):
         dh = _mm_t(do, w2)
         dw2 = _mm_grad(t["h"], do)
         db2 = jnp.sum(do, axis=0, keepdims=True)
-        du = dh * _dgelu(t["u"])
+        du = dh * _dgelu(t["u"], t["tg"])
         dy2 = _mm_t(du, w1)
         dw1 = _mm_grad(t["y2"], du)
         db1 = jnp.sum(du, axis=0, keepdims=True)
