@@ -15,23 +15,31 @@ the fused train-step time. This kernel keeps everything per-image in VMEM:
   compose exactly (``out[p] = I[round(A1·round(A2·p))]`` — the intermediate
   is only sampled at integer coords), with an explicit bounds mask where the
   intermediate would have been zero fill;
-- the second contraction runs packed at [W·C, H·W] (multiply + W-fold
-  reshape-sum) so intermediates keep full 8-sublane vregs, and ColorJitter
-  (fixed order, or per-sample shuffled order via opcodes) + normalization
-  run channel-major over the whole image group ([C·G, H·W]) before a single
-  [C, G, H·W] output write — 30% faster than the per-image-major layout.
+- the second contraction runs packed at [W·C, H·W] in bf16 (multiply +
+  W-fold via one small MXU matmul) so intermediates keep full 8-sublane
+  vregs at half the f32 register traffic — pixel values ride raw 0..255
+  (exact in bf16) with the 1/255 rescale folded into normalization — and
+  ColorJitter (fixed order, or per-sample shuffled order via opcodes) +
+  normalization run channel-major in f32 over the whole image group
+  ([C·G, H·W]) before a single [C, G, H·W] output write — 30% faster than
+  the per-image-major layout;
+- source coordinates are computed for the whole group at once ([G, H·W]
+  rows) instead of per-image [1, H·W] chains — profiling showed vector-op
+  ISSUE count, not arithmetic, bounds this kernel (an empty kernel with
+  the same grid/DMA pattern runs in 0.27 ms vs ~5 ms full at batch 8192).
 
 No backward pass exists or is needed: augmentation sits between the uint8
 batch and the model input, outside the differentiated parameter path.
 
 Reference behavior: vision_spectra/data/transforms.py:10-55 (the torchvision
-pipeline this reproduces). Numerics match the XLA path bit-for-bit in
-nearest mode under the interpreter and to ~1e-2 absolute (bf16 contraction,
-same as XLA path) in bilinear mode; both are asserted in tests/test_ops.py.
-In compiled mode FMA contraction can flip floor(x+0.5) rounding ties on
-~1e-5 of pixels (a one-pixel source shift on those pixels) — measured
-max-one-pixel disagreement on 64x2352-px batches, immaterial for a random
-augmentation.
+pipeline this reproduces). Numerics: nearest-mode warp selection is exact
+(one-hot bf16 indicators selecting exact 0..255 bf16 values); jitter and
+normalization are f32, so the kernel matches the XLA path to f32 rounding
+in nearest mode and to ~1e-2 absolute (bf16 hat-weight contractions) in
+bilinear mode; both are asserted in tests/test_ops.py. In compiled mode
+FMA contraction can flip floor(x+0.5) rounding ties on ~1e-5 of pixels (a
+one-pixel source shift on those pixels) — measured max-one-pixel
+disagreement on 64x2352-px batches, immaterial for a random augmentation.
 """
 
 from __future__ import annotations
@@ -109,91 +117,127 @@ def _jitter_fixed_cm(x, g, fb, fc, fs, c):
     Channel-major over the program's image group: ``x`` [C*G, HW] (row
     ch*G + g is image g's channel ch), factors [C*G, 1] — every vreg rides
     full 8 sublanes instead of C=3 sublanes per image (2.7x fewer VPU ops).
-    Per-element math is identical to the per-image form.
+    Values ride in the raw 0..255 domain (every jitter op is linear in
+    scale, and clip(255*v, 0, 255) == 255*clip(v, 0, 1)); per-element math
+    is otherwise identical to the per-image [0, 1] form.
     """
-    x = jnp.clip(x * fb, 0.0, 1.0)
+    x = jnp.clip(x * fb, 0.0, 255.0)
     gray = _grayscale_cm(x, g, c)
     mean_gray = _cm_bcast(jnp.mean(gray, axis=1, keepdims=True), c)
-    x = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
+    x = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 255.0)
     if c == 3:
         gray3 = _cm_bcast(gray, c)
-        x = jnp.clip((x - gray3) * fs + gray3, 0.0, 1.0)
+        x = jnp.clip((x - gray3) * fs + gray3, 0.0, 255.0)
     return x
 
 
 def _jitter_shuffled_cm(x, g, fb, fc, fs, o0, o1, o2, c):
     """data/transforms._color_jitter_shuffled semantics: per-stage opcode.
 
-    Channel-major like :func:`_jitter_fixed_cm`; per stage the three
-    candidate ops are computed group-wide and selected by the per-image
-    opcode columns [C*G, 1] — identical values to torchvision's per-image
-    random op order.
+    Channel-major like :func:`_jitter_fixed_cm` (same raw 0..255 domain);
+    per stage the three candidate ops are computed group-wide and selected
+    by the per-image opcode columns [C*G, 1] — identical values to
+    torchvision's per-image random op order.
     """
     for op in (o0, o1, o2):
         gray = _grayscale_cm(x, g, c)
         mean_gray = _cm_bcast(jnp.mean(gray, axis=1, keepdims=True), c)
-        xb = jnp.clip(x * fb, 0.0, 1.0)
-        xc = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
+        xb = jnp.clip(x * fb, 0.0, 255.0)
+        xc = jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 255.0)
         if c == 3:
             gray3 = _cm_bcast(gray, c)
-            xs = jnp.clip((x - gray3) * fs + gray3, 0.0, 1.0)
+            xs = jnp.clip((x - gray3) * fs + gray3, 0.0, 255.0)
         else:
             xs = x
         x = jnp.where(op == 0.0, xb, jnp.where(op == 1.0, xc, xs))
     return x
 
 
-def _make_warp_one(h: int, w: int, c: int, bilinear: bool):
-    """One image's full warp: weight build + both contractions in VMEM.
+def _make_coords(h: int, w: int, c: int, bilinear: bool, group: int):
+    """Group-level source-coordinate build.
 
-    Returns ``warp_one(p, img_ref_slice, srows, tcols, xo, yo) -> [C, HW]``
-    where ``tcols`` is the packed [W*C, HW] column-index array (row t*C+ch
-    holds t) — the per-lane contraction runs as one [W*C, HW] multiply and
-    a W-fold reshape-sum, so no intermediate ever leaves the image's native
-    sublane packing (a 3-sublane-of-8 [W, C, HW] layout would waste 62%
-    of every vreg). Fusing both phases per image also keeps only one
-    image's [W*C, HW] temporaries live at a time, which is what lets the
-    group size scale to 32 (and to 64-px images) within VMEM.
+    Returns ``coords(col, xo, yo) -> (cx, cy)`` where ``col(j)`` yields the
+    j-th per-image parameter as a [G, 1] column and cx/cy are [G, HW] f32
+    source coordinates (with the -1.0 out-of-bounds sentinel already folded
+    into cy in nearest mode). Computing coordinates for the whole group at
+    once replaces ~12 per-image [1, HW] op chains (1/8 sublane occupancy,
+    ~84 vregs each) with ~12 [G, HW] ops — a ~10x cut in vector-op issue,
+    which profiling showed (not the arithmetic) dominates this kernel.
     """
-    hw = h * w
 
-    def warp_one(p, img_ref_slice, srows, tcols, xo, yo):
+    def coords(col, xo, yo):
         if bilinear:
             # Single bilinear warp: params 0-5 = inverse affine.
-            sx = p(0) * xo + p(1) * yo + p(2)
-            sy = p(3) * xo + p(4) * yo + p(5)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - srows))  # [H, HW]
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - tcols))  # [W*C, HW]
-        else:
-            # Composed nearest warps: 0-5 = rot (pass 1), 6-11 = aff (pass 2).
-            sx2 = p(6) * xo + p(7) * yo + p(8)
-            sy2 = p(9) * xo + p(10) * yo + p(11)
-            qx = jnp.floor(sx2 + 0.5)
-            qy = jnp.floor(sy2 + 0.5)
-            valid = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
-            rx = jnp.floor(p(0) * qx + p(1) * qy + p(2) + 0.5)
-            ry = jnp.floor(p(3) * qx + p(4) * qy + p(5) + 0.5)
-            # Out-of-bounds fold: send ry to the -1 sentinel so wy's column
-            # is all-zero — one select instead of a separate valid AND-mask.
-            ry = jnp.where(valid, ry, -1.0)
-            wy = (srows == ry).astype(jnp.float32)  # [H, HW]
-            wx = (tcols == rx).astype(jnp.float32)  # [W*C, HW]
+            cx = col(0) * xo + col(1) * yo + col(2)
+            cy = col(3) * xo + col(4) * yo + col(5)
+            return cx, cy
+        # Composed nearest warps: 0-5 = rot (pass 1), 6-11 = aff (pass 2).
+        sx2 = col(6) * xo + col(7) * yo + col(8)
+        sy2 = col(9) * xo + col(10) * yo + col(11)
+        qx = jnp.floor(sx2 + 0.5)
+        qy = jnp.floor(sy2 + 0.5)
+        valid = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+        rx = jnp.floor(col(0) * qx + col(1) * qy + col(2) + 0.5)
+        ry = jnp.floor(col(3) * qx + col(4) * qy + col(5) + 0.5)
+        # Out-of-bounds fold: send ry to the -1 sentinel so wy's column
+        # is all-zero — one select instead of a separate valid AND-mask.
+        ry = jnp.where(valid, ry, -1.0)
+        return rx, ry
 
-        # Warp contraction 1 (image and weights stay in VMEM).
-        # uint8 -> int32 -> f32 -> bf16 (Mosaic lacks direct uint8->float
-        # casts; the int32 hop is exact for 8-bit data).
-        img = (
-            img_ref_slice.astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-        ).astype(jnp.bfloat16)
-        # tmp[t*C+ch, yx] = sum_s img[s, t*C+ch] * wy[s, yx]
+    return coords
+
+
+def _make_warp_one(h: int, w: int, c: int, bilinear: bool):
+    """One image's warp: weight build + both contractions in VMEM.
+
+    ``warp_one(cx, cy, img_ref_slice, srows, tcols, ones_fold) -> [C, HW]``
+    f32, where cx/cy are the image's [1, HW] source coordinates (see
+    :func:`_make_coords`) and ``tcols`` the packed [W*C, HW] column-index
+    array (row t*C+ch holds t). The one-hot / hat weight matrices and the
+    phase-2 product are kept in bf16 — 0..255 pixel values and 0/1
+    indicators are EXACT in bf16 (8-bit significand), so the nearest path
+    is bit-identical while every [W*C, HW] intermediate costs half the
+    vector registers of the earlier f32 form. The W-fold reduction runs as
+    one small MXU matmul against ``ones_fold`` [C, W*C]
+    (ones_fold[ch, t*C+ch'] = ch==ch') instead of 27 strided [C, HW]
+    sublane adds. Fusing both phases per image keeps only one image's
+    [W*C, HW] temporaries live at a time, which is what lets the group
+    size scale to 32 (and to 64-px images) within VMEM.
+    """
+    hw = h * w
+    del hw  # shape bookkeeping only
+
+    def warp_one(cx, cy, img_ref_slice, srows, tcols, ones_fold):
+        if bilinear:
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy - srows)).astype(
+                jnp.bfloat16)  # [H, HW]
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx - tcols)).astype(
+                jnp.bfloat16)  # [W*C, HW]
+        else:
+            wy = (srows == cy).astype(jnp.bfloat16)  # [H, HW]
+            wx = (tcols == cx).astype(jnp.bfloat16)  # [W*C, HW]
+
+        # uint8 -> int32 -> bf16 (Mosaic lacks direct uint8->float casts;
+        # integers 0..255 are exact in bf16, and the 1/255 rescale is
+        # folded into the final normalization constants).
+        img = img_ref_slice.astype(jnp.int32).astype(jnp.bfloat16)
+        # Phase 1: tmp[t*C+ch, yx] = sum_s img[s, t*C+ch] * wy[s, yx].
+        # Mosaic mandates f32 matmul accumulation; the bf16 round-down is
+        # exact in nearest mode (one-hot columns select single 0..255
+        # values), and in bilinear mode the 2-term hat sums round at 2^-8
+        # relative — far inside the parity tolerance.
         tmp = jax.lax.dot_general(
-            img, wy.astype(jnp.bfloat16),
+            img, wy,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [W*C, HW]
-        # Contraction 2 over source columns, packed: out[ch, yx] =
-        # sum_t tmp[t*C+ch, yx] * wx[t*C+ch, yx].
-        return jnp.sum((tmp * wx).reshape(w, c, hw), axis=0)  # [C, HW]
+        ).astype(jnp.bfloat16)  # [W*C, HW]
+        # Phase 2, packed: out[ch, yx] = sum_t (tmp*wx)[t*C+ch, yx] via the
+        # MXU (f32 accumulation).
+        return jax.lax.dot_general(
+            ones_fold, tmp * wx,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, HW] f32, values 0..255
 
     return warp_one
 
@@ -201,16 +245,21 @@ def _make_warp_one(h: int, w: int, c: int, bilinear: bool):
 def _make_group_body(h: int, w: int, c: int, bilinear: bool,
                      mean: tuple[float, ...], std: tuple[float, ...],
                      group: int, out_dtype=jnp.float32):
-    """The shared kernel body: per-image fused warps, then jitter +
-    normalize channel-major over the group and a single output-block
-    write. Layout [C, G, HW] (channel-major) end to end — measured 30%
-    faster than the per-image [G, C, HW] form at batch 8192 / 28 px."""
+    """The shared kernel body: group-level coordinate build, per-image
+    fused warps (bf16 phases), then jitter + normalize channel-major over
+    the group and a single output-block write. Layout [C, G, HW]
+    (channel-major) end to end — measured 30% faster than the per-image
+    [G, C, HW] form at batch 8192 / 28 px. Pixel values ride the kernel
+    in the raw 0..255 domain; the 1/255 rescale is folded into the
+    normalization constants (one fewer full-width pass, and uint8 -> bf16
+    stays exact)."""
     hw = h * w
-    # Python-float constants (Pallas kernels cannot capture array constants);
-    # normalization happens channel-block by channel-block below.
-    inv_std = tuple(1.0 / float(s) for s in std)
-    mean_f = tuple(float(m) for m in mean)
+    # Python-float constants (Pallas kernels cannot capture array
+    # constants). (x/255 - mean)/std == x * a + b with:
+    a_norm = tuple(1.0 / (255.0 * float(s)) for s in std)
+    b_norm = tuple(-float(m) / float(s) for m, s in zip(mean, std))
     warp_one = _make_warp_one(h, w, c, bilinear)
+    coords = _make_coords(h, w, c, bilinear, group)
 
     def run_group(params_ref, img_slices, out_ref):
         # Index arrays hoisted once per program, shared by every image.
@@ -223,36 +272,47 @@ def _make_group_body(h: int, w: int, c: int, bilinear: bool,
         tcols = (
             jax.lax.broadcasted_iota(jnp.int32, (w * c, hw), 0) // c
         ).astype(jnp.float32)
+        # Fold matrix [C, W*C]: ones_fold[ch, t*C+ch'] = (ch == ch').
+        ones_fold = (
+            jax.lax.broadcasted_iota(jnp.int32, (c, w * c), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (c, w * c), 1) % c
+        ).astype(jnp.bfloat16)
+
+        def col(j):
+            return jnp.concatenate(
+                [params_ref[g, 0, j].reshape(1, 1) for g in range(group)],
+                axis=0,
+            )  # [G, 1]
+
+        # Source coordinates for the WHOLE group at once: [G, HW].
+        cx, cy = coords(col, xo, yo)
 
         xs = []
         for g in range(group):
-            def p(j, _g=g):  # SMEM allows scalar loads only
-                return params_ref[_g, 0, j]
-            xs.append(warp_one(p, img_slices[g], srows, tcols, xo, yo))
+            xs.append(warp_one(
+                cx[g:g + 1], cy[g:g + 1], img_slices[g], srows, tcols,
+                ones_fold,
+            ))
 
-        # Channel-major packing: row ch*group + g.
+        # Channel-major packing: row ch*group + g. Values 0..255 f32.
         x_cm = jnp.concatenate(
             [xs[g][ch:ch + 1] for ch in range(c) for g in range(group)],
             axis=0,
         )  # [C*G, HW]
 
-        def col(j):
-            v = jnp.concatenate(
-                [params_ref[g, 0, j].reshape(1, 1) for g in range(group)],
-                axis=0,
-            )  # [G, 1]
-            return _cm_bcast(v, c)  # [C*G, 1]
+        def colb(j):
+            return _cm_bcast(col(j), c)  # [C*G, 1]
 
         if bilinear:
             x_cm = _jitter_fixed_cm(
-                x_cm, group, col(12), col(13), col(14), c)
+                x_cm, group, colb(12), colb(13), colb(14), c)
         else:
             x_cm = _jitter_shuffled_cm(
-                x_cm, group, col(12), col(13), col(14),
-                col(15), col(16), col(17), c,
+                x_cm, group, colb(12), colb(13), colb(14),
+                colb(15), colb(16), colb(17), c,
             )
         norm = jnp.concatenate(
-            [(x_cm[i * group:(i + 1) * group] - mean_f[i]) * inv_std[i]
+            [x_cm[i * group:(i + 1) * group] * a_norm[i] + b_norm[i]
              for i in range(c)],
             axis=0,
         )
