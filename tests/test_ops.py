@@ -257,12 +257,23 @@ class TestAugWarpKernel:
 
     @pytest.mark.parametrize(
         "c,b",
-        [(1, 4), (3, 4), (3, 32)],  # b=32 exercises the full 32-image
-        # group (channel-major packing at full width); b=4 the small-batch
-        # group fallback
+        [(1, 4), (3, 4), (3, 32)],  # b=32 exercises a full single-program
+        # group (channel-major packing at full width, MIN_GRID forced to 1);
+        # b=4 the small-batch group fallback
     )
-    def test_kernel_nearest_matches_xla(self, c, b):
+    def test_kernel_nearest_matches_xla(self, c, b, monkeypatch, request):
         """Kernel (torchvision mode) == XLA composed path, same params."""
+        from vision_spectra_tpu.ops import aug_warp
+
+        if b == 32:
+            # Pin group == b so the whole batch runs as one program group
+            # (production picks group = b/MIN_GRID here; group size never
+            # changes values, only packing width — this covers the widest).
+            monkeypatch.setattr(aug_warp, "MIN_GRID", 1)
+            aug_warp._build_call.cache_clear()
+            # The build cache keys on batch geometry, not group — drop the
+            # MIN_GRID=1 builds so later tests rebuild under production rules.
+            request.addfinalizer(aug_warp._build_call.cache_clear)
         from vision_spectra_tpu.data.transforms import (
             _color_jitter_shuffled,
             _jitter_params,

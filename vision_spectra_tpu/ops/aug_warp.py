@@ -54,10 +54,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["warp_augment", "use_pallas_warp"]
 
-# Images per grid program, best-first (largest divisor of the batch wins).
-# 32 measured best at 28 px on v5e (1-image programs are grid/DMA bound;
-# beyond 32 the unroll stops paying — 64 measured slightly slower).
-GROUP_CANDIDATES = (32, 16, 8, 4, 2, 1)
+# Images per grid program, best-first (largest divisor of the batch wins,
+# subject to keeping >=4 grid steps so the image DMAs stay pipelined).
+# With the group-level coordinate build, bigger groups keep paying: at
+# batch 8192 / 28 px on v5e, nearest measured 3.05/2.91/2.69 ms at group
+# 32/64/128 (256 regresses to 3.36 and compiles ~20 s). Group size only
+# affects scheduling, never values.
+GROUP_CANDIDATES = (128, 64, 32, 16, 8, 4, 2, 1)
+MIN_GRID = 4
 
 
 def use_pallas_warp(shape: tuple[int, ...], mesh=None) -> bool:
@@ -358,6 +362,11 @@ def _make_kernel_gather(h: int, w: int, c: int, bilinear: bool,
 
 
 def _pick_group(b: int) -> int:
+    # Largest divisor that still leaves MIN_GRID pipelined grid steps; tiny
+    # batches (b < 4*MIN_GRID) just take their largest divisor.
+    for g in GROUP_CANDIDATES:
+        if b % g == 0 and b // g >= MIN_GRID:
+            return g
     return next(g for g in GROUP_CANDIDATES if b % g == 0)
 
 
