@@ -289,11 +289,17 @@ def _attn_fwd_general(q, k, v, n, heads, scale):
     on the MXU and cross-image pairs are masked out — a factor-k FLOP
     overhead on the (small) attention term in exchange for keeping the
     native [rows, E] layout with no head transposes.
+
+    Returns ``(out, ps)`` with ``ps`` the per-head probability matrices —
+    the backward kernel recomputes this forward per tile anyway (flash
+    style), so handing ``ps`` to :func:`_attn_bwd_general` saves it a
+    second round of score matmuls + softmaxes.
     """
     t, e = q.shape
     d = e // heads
     neg = _block_mask(t, n)
     outs = []
+    ps = []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         s = jax.lax.dot_general(
@@ -302,19 +308,19 @@ def _attn_fwd_general(q, k, v, n, heads, scale):
             preferred_element_type=jnp.float32,
         ) * scale + neg
         p = _softmax_rows(s)
+        ps.append(p)
         outs.append(jax.lax.dot_general(
             p.astype(jnp.bfloat16), v[:, sl].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
-    return jnp.concatenate(outs, axis=1)
+    return jnp.concatenate(outs, axis=1), ps
 
 
-def _attn_bwd_general(dao, q, k, v, n, heads, scale):
-    """Backward of :func:`_attn_fwd_general` (per-head recompute)."""
+def _attn_bwd_general(dao, q, k, v, ps, heads, scale):
+    """Backward of :func:`_attn_fwd_general` given its per-head probs."""
     t, e = q.shape
     d = e // heads
-    neg = _block_mask(t, n)
     dqs, dks, dvs = [], [], []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
@@ -322,12 +328,7 @@ def _attn_bwd_general(dao, q, k, v, n, heads, scale):
         kh = k[:, sl]
         vh = v[:, sl]
         doh = dao[:, sl]
-        s = jax.lax.dot_general(
-            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + neg
-        p = _softmax_rows(s)
+        p = ps[h]
         pb = p.astype(jnp.bfloat16)
         dv = jax.lax.dot_general(
             pb, doh.astype(jnp.bfloat16),
@@ -377,7 +378,13 @@ def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
 
 
 def _fwd_body(x, params, m1, m2, e, heads, n):
-    """Shared forward trace on f32 arrays; returns dict of intermediates."""
+    """Shared forward trace; returns dict of intermediates.
+
+    Weight matrices in ``params`` arrive bf16 (cast ONCE per step by the
+    host-side wrapper — an in-kernel f32 load + downcast burned ~440k VPU
+    cast ops per row tile); vector params (LN scales/biases, biases) stay
+    f32. All activation math is f32 with bf16 matmul inputs, as before.
+    """
     (ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
      ln2s, ln2b, w1, b1, w2, b2) = params
     d = e // heads
@@ -390,8 +397,9 @@ def _fwd_body(x, params, m1, m2, e, heads, n):
     v = _mm(y1, wv) + bv
     if n == 2:
         ao, a_s, a_c, pk, pv = _attn_fwd(q, k, v, g_mat, scale)
+        ps = None
     else:
-        ao = _attn_fwd_general(q, k, v, n, heads, scale)
+        ao, ps = _attn_fwd_general(q, k, v, n, heads, scale)
         a_s = a_c = pk = pv = None
     p = _mm(ao, wp) + bp
     x_mid = x + m1 * p
@@ -402,8 +410,21 @@ def _fwd_body(x, params, m1, m2, e, heads, n):
     o = _mm(h, w2) + b2
     x_out = x_mid + m2 * o
     return dict(y1=y1, q=q, k=k, v=v, ao=ao, a_s=a_s, a_c=a_c, pk=pk,
-                pv=pv, x_mid=x_mid, y2=y2, u=u, h=h, tg=tg, x_out=x_out,
-                g_mat=g_mat, scale=scale)
+                pv=pv, ps=ps, x_mid=x_mid, y2=y2, u=u, h=h, tg=tg,
+                x_out=x_out, g_mat=g_mat, scale=scale)
+
+
+# Param indices whose arrays are weight MATRICES (shipped to the kernel in
+# bf16); the rest are [1, D] vectors that stay f32.
+_WEIGHT_IDX = (2, 4, 6, 8, 12, 14)
+
+
+def _load_params(param_refs):
+    """Load param blocks: f32 vectors as-is, bf16 weights untouched."""
+    return tuple(
+        r[...] if i in _WEIGHT_IDX else r[...].astype(jnp.float32)
+        for i, r in enumerate(param_refs)
+    )
 
 
 def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype):
@@ -411,7 +432,7 @@ def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, o_ref = refs[N_PARAMS:]
         x = x_ref[...].astype(jnp.float32)
-        params = tuple(r[...].astype(jnp.float32) for r in param_refs)
+        params = _load_params(param_refs)
         t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads, n)
         o_ref[...] = t["x_out"].astype(out_dtype)
 
@@ -432,7 +453,7 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype):
                 r[...] = jnp.zeros_like(r)
 
         x = x_ref[...].astype(jnp.float32)
-        params = tuple(r[...].astype(jnp.float32) for r in param_refs)
+        params = _load_params(param_refs)
         (ln1s, ln1b, wq, bq, wk, bk, wv, bv, wp, bp,
          ln2s, ln2b, w1, b1, w2, b2) = params
         m1 = m1_ref[...]
@@ -464,7 +485,7 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype):
             )
         else:
             dq, dk, dv = _attn_bwd_general(
-                dao, t["q"], t["k"], t["v"], n, heads, t["scale"],
+                dao, t["q"], t["k"], t["v"], t["ps"], heads, t["scale"],
             )
         dy1 = _mm_t(dq, wq) + _mm_t(dk, wk) + _mm_t(dv, wv)
         dwq = _mm_grad(t["y1"], dq)
@@ -550,12 +571,21 @@ def _build_bwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
 # ---------------------------------------------------------------------------
 
 
+def _cast_weights(params):
+    """Weight matrices -> bf16 ONCE on the XLA side (same rounding the
+    kernel's per-matmul casts applied; now paid per step, not per tile)."""
+    return tuple(
+        p.astype(jnp.bfloat16) if i in _WEIGHT_IDX else p
+        for i, p in enumerate(params)
+    )
+
+
 def _run_fwd(heads, n, interpret, x, params, m1, m2):
     rows, e = x.shape
     f = params[12].shape[1]
     tile = select_tile(rows, n)
     call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name, interpret)
-    return call(x, *params, m1, m2)
+    return call(x, *_cast_weights(params), m1, m2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -574,7 +604,7 @@ def _fused_block_bwd(heads, n, interpret, res, dy):
     f = params[12].shape[1]
     tile = select_tile(rows, n)
     call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret)
-    out = call(x, *params, m1, m2, dy.astype(x.dtype))
+    out = call(x, *_cast_weights(params), m1, m2, dy.astype(x.dtype))
     dx = out[0]
     dparams = tuple(
         g.astype(p.dtype).reshape(p.shape)
