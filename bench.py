@@ -378,7 +378,10 @@ def main() -> None:
 
     def mim_p4_core(state, imgs, labs, key, lr_s, lr_mult):
         k_aug, k_drop, k_mask = jax.random.split(key, 3)
-        x = mim_augment(imgs, k_aug, num_channels=3, out_dtype=aug_dt)
+        # f32 aug output like the shipped MIM trainers: the reconstruction
+        # target is derived from x, so quantizing it to bf16 would change
+        # the measured objective (policy: f32 MIM targets everywhere).
+        x = mim_augment(imgs, k_aug, num_channels=3)
 
         def loss_fn_(p):
             loss, _pred, _mask = mim_p4.apply(

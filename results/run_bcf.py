@@ -37,7 +37,6 @@ REF_ACCS = {"B": "70.9%", "C": "65.3%", "F": "56.8%"}
 
 
 def run_scenarios():
-    rows = {}
     t0 = time.time()
     for st in [ScenarioType.F_TINY_COMPLEX, ScenarioType.C_REDUCED_COMPLEX,
                ScenarioType.B_EXPRESSIVE_COMPLEX]:
@@ -52,15 +51,17 @@ def run_scenarios():
                 flush=True,
             )
     print("scenarios done", round(time.time() - t0), "s", flush=True)
-    return rows
 
 
 def refresh_figures():
     from vision_spectra_tpu.analysis import publication_figures as pf
 
+    all_metrics = None
     for out_dir, include in ((REPO / "results/figures", False),
                              (REPO / "results/figures_all", True)):
         metrics = pf.extract_all_scenarios(str(OUT), include_surrogate=include)
+        if include:
+            all_metrics = metrics  # reuse for RESULTS.md — no third store scan
         out_dir.mkdir(parents=True, exist_ok=True)
         pf.generate_delta_alpha_bar(metrics, out_dir)
         pf.generate_accuracy_vs_compression(metrics, out_dir)
@@ -69,7 +70,7 @@ def refresh_figures():
         pf.generate_results_table(metrics, out_dir)
         pf.generate_latex_table(metrics, out_dir)
         print(f"figures -> {out_dir} (include_surrogate={include})", flush=True)
-    return pf.extract_all_scenarios(str(OUT), include_surrogate=True)
+    return all_metrics
 
 
 def rewrite_results_md(metrics):

@@ -83,10 +83,11 @@ def main() -> None:
             "per_seed_acc": [float(a) for a in accs],
             "per_seed_dalpha": [float(d) for d in deltas],
         }
-
-    out_root.mkdir(parents=True, exist_ok=True)
-    with open(out_root / "summary.json", "w") as f:
-        json.dump(results, f, indent=2, default=float)
+        # Write incrementally after EACH scenario: a tunnel outage hours in
+        # must not discard the aggregates of scenarios already finished.
+        out_root.mkdir(parents=True, exist_ok=True)
+        with open(out_root / "summary.json", "w") as f:
+            json.dump(results, f, indent=2, default=float)
 
     print("\n=== 10-seed summary (target: |acc diff| <= 1.0 pt, |dA| <= 0.02) ===")
     print(f"{'scn':3} {'acc':>7} {'ref':>6} {'diff':>6} {'sigma':>6}  "

@@ -213,6 +213,28 @@ def test_sweep_cli_covers_reference_options():
 
 
 class TestYamlConfig:
+    def test_ignored_flag_warning_skips_positionals(self, runner):
+        """With -c, explicitly-passed OPTIONS are reported as ignored, but
+        positional arguments (consumed regardless, e.g. finetune's
+        checkpoint) must never be — the warning would tell the user to move
+        a required argument into the YAML, which is impossible."""
+        import click
+
+        from vision_spectra_tpu.cli import _warn_ignored_flags
+
+        @click.command()
+        @click.argument("checkpoint")
+        @click.option("--epochs", type=int, default=None)
+        @click.option("-c", "--config", "config_path", default=None)
+        def fake(checkpoint, epochs, config_path):
+            _warn_ignored_flags()
+
+        r = runner.invoke(fake, ["ckpt.msgpack", "-c", "x", "--epochs", "5"])
+        assert r.exit_code == 0, r.output
+        err = r.output + getattr(r, "stderr", "")
+        assert "--epochs" in err
+        assert "ckpt" not in err and "checkpoint" not in err
+
     def test_yaml_used_as_is(self, runner, tmp_path):
         """-c YAML is used exclusively (reference cli.py:98-114 if/else) —
         CLI flag defaults must NOT clobber YAML values like epochs."""

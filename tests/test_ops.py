@@ -239,6 +239,18 @@ class TestAugWarpKernel:
             (60, 28, 28, 3), make_mesh(data_axis=8, model_axis=1)
         )
 
+    def test_pick_group_scales_down_with_image_size(self):
+        """Group selection is VMEM-bounded: G*HW stays within the measured
+        28-px/group-128 budget, so 64-px batches (use_pallas_warp admits up
+        to 64 px) scale the group down instead of oversubscribing VMEM."""
+        from vision_spectra_tpu.ops.aug_warp import _pick_group
+
+        assert _pick_group(8192, 28 * 28) == 128
+        assert _pick_group(8192, 32 * 32) == 64   # cap 98 -> next divisor 64
+        assert _pick_group(8192, 64 * 64) == 16   # cap 24 -> 16
+        assert _pick_group(8, 64 * 64) == 2       # tiny batch, 4 grid steps
+        assert _pick_group(7, 64 * 64) == 1       # prime batch: group 1
+
     def test_composed_nearest_equals_two_pass(self):
         """One composed warp == the literal two-resample torchvision recipe,
         bit-for-bit (the intermediate is only sampled at integer coords)."""

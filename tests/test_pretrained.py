@@ -287,6 +287,37 @@ class TestWiring:
         np.testing.assert_allclose(got, sd["cls_token"].numpy(), rtol=1e-6)
         trainer.cleanup()
 
+    def test_env_path_only_honored_when_pretrained_true(self, tmp_path,
+                                                        monkeypatch):
+        """A leaked VISION_SPECTRA_PRETRAINED_PATH must never flip a
+        from-scratch run (pretrained=False) to pretrained init; with
+        pretrained=True it supplies the path."""
+        rng = np.random.RandomState(12)
+        sd = make_timm_sd(rng)
+        path = tmp_path / "timm.pth"
+        torch.save(sd, path)
+        monkeypatch.setenv("VISION_SPECTRA_PRETRAINED_PATH", str(path))
+
+        from vision_spectra_tpu.data import get_dataset
+        from vision_spectra_tpu.losses import get_loss
+        from vision_spectra_tpu.training import ClassificationTrainer
+
+        # pretrained=False (default): env var ignored, fresh init.
+        cfg = _trainer_config(tmp_path)
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        trainer = ClassificationTrainer(cfg, _build(cfg, ds), ds, get_loss(cfg.loss))
+        got = np.asarray(trainer.state.params["cls_token"])
+        trainer.cleanup()
+        assert not np.allclose(got, sd["cls_token"].numpy())
+
+        # pretrained=True with no config path: env var supplies it.
+        cfg = _trainer_config(tmp_path, pretrained=True)
+        ds = get_dataset(cfg.dataset, cfg.data_dir)
+        trainer = ClassificationTrainer(cfg, _build(cfg, ds), ds, get_loss(cfg.loss))
+        got = np.asarray(trainer.state.params["cls_token"])
+        trainer.cleanup()
+        np.testing.assert_allclose(got, sd["cls_token"].numpy(), rtol=1e-6)
+
     def test_pretrained_true_without_path_raises(self, tmp_path):
         cfg = _trainer_config(tmp_path, pretrained=True)
 

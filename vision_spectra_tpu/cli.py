@@ -96,7 +96,9 @@ def _warn_ignored_flags() -> None:
         return
     ignored = []
     for param in ctx.command.params:
-        if param.name == "config_path":
+        # Positional arguments (e.g. finetune's checkpoint) are consumed
+        # regardless of -c and cannot live in the YAML — never report them.
+        if param.name == "config_path" or isinstance(param, click.Argument):
             continue
         src = ctx.get_parameter_source(param.name)
         if src is not None and src.name == "COMMANDLINE":

@@ -134,7 +134,8 @@ class ModelConfig(BaseModel):
     # this environment has no egress, so the source is a FILE: a torch
     # state_dict (.pth) or .npz in timm's key layout, imported by
     # models/pretrained.py. ``pretrained=True`` requires ``pretrained_path``
-    # (or VISION_SPECTRA_PRETRAINED_PATH); giving a path alone also loads.
+    # (or, only when pretrained=True, VISION_SPECTRA_PRETRAINED_PATH);
+    # giving pretrained_path alone also loads.
     pretrained: bool = Field(default=False)
     pretrained_path: Path | None = Field(
         default=None, description="timm ViT state_dict file (.pth/.npz)"

@@ -62,6 +62,13 @@ __all__ = ["warp_augment", "use_pallas_warp"]
 # affects scheduling, never values.
 GROUP_CANDIDATES = (128, 64, 32, 16, 8, 4, 2, 1)
 MIN_GRID = 4
+# VMEM guard: the channel-major group intermediates ([C*G, HW] f32 jitter
+# stages, the xs accumulation, and the double-buffered [C, G, HW] output
+# block) all scale with G*HW. Group 128 was measured safe at 28 px
+# (HW=784); cap G*HW at that product so larger images (use_pallas_warp
+# admits up to 64 px → HW=4096) scale the group down instead of
+# oversubscribing the ~16 MB VMEM budget.
+MAX_GROUP_ELEMS = 128 * 28 * 28
 
 
 def use_pallas_warp(shape: tuple[int, ...], mesh=None) -> bool:
@@ -91,8 +98,10 @@ def use_pallas_warp(shape: tuple[int, ...], mesh=None) -> bool:
         # GSPMD-partitionable. Keep the XLA path there.
         if mesh.shape[DATA_AXIS] <= 1 or b % mesh.shape[DATA_AXIS]:
             return False
-    # VMEM budget: weight matrices are [H, H*W] and [W, H*W] f32; 64 px
-    # (4096-lane) images use ~2 MB — beyond that the XLA gather path wins.
+    # VMEM budget: per-image warp temporaries are [H, HW] + [W*C, HW] bf16
+    # and the group-level jitter/output blocks scale with G*HW (bounded by
+    # MAX_GROUP_ELEMS in _pick_group); past 64 px even group 1 pays ~4 MB
+    # per image and the XLA gather path wins.
     return c in (1, 3) and 8 <= h <= 64 and 8 <= w <= 64
 
 
@@ -361,13 +370,15 @@ def _make_kernel_gather(h: int, w: int, c: int, bilinear: bool,
     return kernel
 
 
-def _pick_group(b: int) -> int:
-    # Largest divisor that still leaves MIN_GRID pipelined grid steps; tiny
-    # batches (b < 4*MIN_GRID) just take their largest divisor.
+def _pick_group(b: int, hw: int = 28 * 28) -> int:
+    # Largest divisor that still leaves MIN_GRID pipelined grid steps AND
+    # fits the VMEM cost model (group scales down as images grow); tiny
+    # batches (b < 4*MIN_GRID) just take their largest fitting divisor.
+    cap = max(1, MAX_GROUP_ELEMS // hw)
     for g in GROUP_CANDIDATES:
-        if b % g == 0 and b // g >= MIN_GRID:
+        if g <= cap and b % g == 0 and b // g >= MIN_GRID:
             return g
-    return next(g for g in GROUP_CANDIDATES if b % g == 0)
+    return next(g for g in GROUP_CANDIDATES if b % g == 0 and g <= cap)
 
 
 @functools.lru_cache(maxsize=None)
@@ -375,7 +386,7 @@ def _build_call(b: int, h: int, w: int, c: int, bilinear: bool,
                 mean: tuple[float, ...], std: tuple[float, ...],
                 interpret: bool, out_dtype_name: str = "float32"):
     out_dtype = jnp.dtype(out_dtype_name)
-    group = _pick_group(b)
+    group = _pick_group(b, h * w)
     kernel = _make_kernel(h, w, c, bilinear, mean, std, group, out_dtype)
     return pl.pallas_call(
         kernel,
@@ -406,7 +417,7 @@ def _build_call_gather(n: int, b: int, h: int, w: int, c: int, bilinear: bool,
     """pallas_call fetching each image by scalar-prefetched index from the
     full [n, ...] resident dataset (the fused-epoch shuffle, for free)."""
     out_dtype = jnp.dtype(out_dtype_name)
-    group = _pick_group(b)
+    group = _pick_group(b, h * w)
     kernel = _make_kernel_gather(h, w, c, bilinear, mean, std, group, out_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

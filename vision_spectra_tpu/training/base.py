@@ -203,17 +203,19 @@ class BaseTrainer:
         """Honor ModelConfig.pretrained / pretrained_path at state init.
 
         The reference loads zoo weights inside timm.create_model (reference:
-        models/vit.py:64-78); here the source is a timm state_dict FILE —
-        ``pretrained_path`` (or VISION_SPECTRA_PRETRAINED_PATH). A path alone
-        also loads; ``pretrained=True`` without any path is a loud error
-        (there is no zoo to silently fall back to).
+        models/vit.py:64-78); here the source is a timm state_dict FILE.
+        An explicit ``pretrained_path`` in the config loads on its own
+        (per-run intent); VISION_SPECTRA_PRETRAINED_PATH only supplies the
+        path when ``pretrained=True`` — a leaked env var must never flip a
+        from-scratch run to pretrained init. ``pretrained=True`` without
+        any path is a loud error (there is no zoo to fall back to).
         """
         import os
 
         mc = self.config.model
-        path = getattr(mc, "pretrained_path", None) or os.environ.get(
-            "VISION_SPECTRA_PRETRAINED_PATH"
-        )
+        path = getattr(mc, "pretrained_path", None)
+        if path is None and getattr(mc, "pretrained", False):
+            path = os.environ.get("VISION_SPECTRA_PRETRAINED_PATH")
         if path is None:
             if getattr(mc, "pretrained", False):
                 raise ValueError(
