@@ -191,6 +191,115 @@ class TestSmokeTraining:
         assert r.exit_code == 0, r.output
 
 
+class TestTrainerSelection:
+    """The CLI training commands must deliver the benched fused-epoch path
+    (VERDICT r2 #1): fused by default on resident datasets, streaming under
+    --streaming / smoke mode."""
+
+    def _cfg(self, **training_overrides):
+        from vision_spectra_tpu.config import ExperimentConfig
+
+        cfg = ExperimentConfig()
+        for k, v in training_overrides.items():
+            setattr(cfg.training, k, v)
+        return cfg
+
+    def test_select_trainer_branches(self):
+        from vision_spectra_tpu.training import (
+            ClassificationTrainer,
+            FinetuneTrainer,
+            FusedClassificationTrainer,
+            FusedFinetuneTrainer,
+            FusedMIMTrainer,
+            FusedMultitaskTrainer,
+            MIMTrainer,
+            MultitaskTrainer,
+            select_trainer,
+        )
+
+        class Resident:
+            def get_train_split(self):  # pragma: no cover - presence only
+                raise NotImplementedError
+
+        class StreamOnly:
+            pass
+
+        cfg = self._cfg()
+        assert select_trainer(ClassificationTrainer, cfg, Resident()) is FusedClassificationTrainer
+        assert select_trainer(MIMTrainer, cfg, Resident()) is FusedMIMTrainer
+        assert select_trainer(MultitaskTrainer, cfg, Resident()) is FusedMultitaskTrainer
+        assert select_trainer(FinetuneTrainer, cfg, Resident()) is FusedFinetuneTrainer
+        # escape hatches
+        assert select_trainer(ClassificationTrainer, self._cfg(streaming=True), Resident()) is ClassificationTrainer
+        assert select_trainer(ClassificationTrainer, self._cfg(smoke_test=True), Resident()) is ClassificationTrainer
+        assert select_trainer(ClassificationTrainer, cfg, StreamOnly()) is ClassificationTrainer
+
+    def _spy_select(self, monkeypatch, captured):
+        import vision_spectra_tpu.training as T
+
+        real = T.select_trainer
+
+        def spy(streaming_cls, cfg, ds):
+            out = real(streaming_cls, cfg, ds)
+            captured.append(out)
+            return out
+
+        monkeypatch.setattr(T, "select_trainer", spy)
+
+    def test_train_cls_cli_constructs_fused_trainer(self, runner, tmp_path, monkeypatch):
+        """A real (non-smoke) train-cls run goes through the fused trainer."""
+        from vision_spectra_tpu.training import FusedClassificationTrainer
+
+        cfg = tmp_path / "cfg.yaml"
+        cfg.write_text(
+            "name: fused_cli\n"
+            f"data_dir: {tmp_path / 'data'}\n"
+            f"output_dir: {tmp_path / 'runs'}\n"
+            "dataset:\n  name: synthetic\n  batch_size: 8\n"
+            "  num_samples_train: 32\n  num_samples_val: 16\n"
+            "  num_samples_test: 16\n"
+            "model:\n  name: vit_tiny_patch4_28\n  embed_dim: 32\n  depth: 1\n"
+            "  drop_path_rate: 0.0\n"
+            "training:\n  epochs: 1\n  early_stopping: false\n"
+            "spectral:\n  enabled: false\n"
+        )
+        captured = []
+        self._spy_select(monkeypatch, captured)
+        r = runner.invoke(main, ["train-cls", "-c", str(cfg)], catch_exceptions=False)
+        assert r.exit_code == 0, r.output
+        assert captured == [FusedClassificationTrainer]
+        assert "Final:" in r.output
+
+    def test_streaming_flag_escape_hatch(self, runner, tmp_path, monkeypatch):
+        from vision_spectra_tpu.training import ClassificationTrainer
+
+        captured = []
+        self._spy_select(monkeypatch, captured)
+        r = runner.invoke(
+            main,
+            [
+                "train-cls", "--dataset", "synthetic", "--epochs", "1",
+                "--batch-size", "8", "--smoke-test", "--streaming",
+                "--name", "stream_smoke",
+                "--output-dir", str(tmp_path / "runs"),
+                "--data-dir", str(tmp_path / "data"),
+            ],
+            catch_exceptions=False,
+        )
+        assert r.exit_code == 0, r.output
+        assert captured == [ClassificationTrainer]
+
+    def test_streaming_yaml_field(self, tmp_path):
+        """training.streaming is a config field so YAML users have the same
+        escape hatch as --streaming."""
+        from vision_spectra_tpu.config import ExperimentConfig
+
+        p = tmp_path / "s.yaml"
+        p.write_text("training:\n  streaming: true\n")
+        assert ExperimentConfig.from_yaml(p).training.streaming is True
+        assert ExperimentConfig().training.streaming is False
+
+
 def test_sweep_cli_covers_reference_options():
     """experiments classification run exposes the reference's full option
     surface (reference: run_classification_experiments.py:539-628)."""

@@ -40,6 +40,7 @@ def _build_config(
     aug_mode=None,
     pretrained_path=None,
     use_flash=None,
+    streaming=None,
 ):
     """Config resolution matching the reference (cli.py:98-114): a ``-c``
     YAML is used AS-IS (the other CLI options are ignored — the reference's
@@ -85,6 +86,8 @@ def _build_config(
         cfg.model.pretrained_path = Path(pretrained_path)
     if use_flash is not None:
         cfg.model.use_flash = use_flash
+    if streaming is not None:
+        cfg.training.streaming = streaming
     return cfg
 
 
@@ -152,6 +155,7 @@ def _prepare(cfg):
 
 def _common_options(defaults):
     def deco(f):
+        f = click.option("--streaming", is_flag=True, default=False, help="Force the per-step streaming trainer (default: fused epochs on resident datasets)")(f)
         f = click.option("--use-flash/--no-use-flash", "use_flash", default=None, help="Flash (Pallas) attention; default auto (TPU + N>=1024)")(f)
         f = click.option("--pretrained-path", default=None, type=click.Path(exists=True, path_type=Path), help="timm ViT state_dict (.pth/.npz) to import")(f)
         f = click.option("--model-axis", default=None, type=int, help="Tensor-parallel mesh axis size (default 1)")(f)
@@ -192,11 +196,11 @@ def main() -> None:
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
               smoke_test, data_dir, output_dir, aug_mode, data_axis,
-              model_axis, pretrained_path, use_flash, loss, model):
+              model_axis, pretrained_path, use_flash, streaming, loss, model):
     """Train a ViT classifier (reference: cli.py:72-157)."""
     from vision_spectra_tpu.config import LossName
     from vision_spectra_tpu.losses import get_loss
-    from vision_spectra_tpu.training import ClassificationTrainer
+    from vision_spectra_tpu.training import ClassificationTrainer, select_trainer
 
     cfg = _build_config(
         config_path, name=name, dataset=dataset, epochs=epochs,
@@ -204,6 +208,7 @@ def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
         model=model, loss=loss, data_axis=data_axis, model_axis=model_axis,
         aug_mode=aug_mode, pretrained_path=pretrained_path, use_flash=use_flash,
+        streaming=streaming,
     )
     ds, info, encoder, desc, _ = _prepare(cfg)
     counts = (
@@ -212,7 +217,7 @@ def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
         else None
     )
     loss_fn = get_loss(cfg.loss, samples_per_class=counts)
-    trainer = ClassificationTrainer(cfg, encoder, ds, loss_fn)
+    trainer = select_trainer(ClassificationTrainer, cfg, ds)(cfg, encoder, ds, loss_fn)
     history = trainer.train()
     click.echo(f"Final: {history}")
     trainer.cleanup()
@@ -224,10 +229,11 @@ def train_cls(dataset, epochs, batch_size, lr, seed, device, name, config_path,
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_path,
                  smoke_test, data_dir, output_dir, aug_mode, data_axis,
-                 model_axis, pretrained_path, use_flash, mask_ratio, model):
+                 model_axis, pretrained_path, use_flash, streaming,
+                 mask_ratio, model):
     """MAE-style masked-image-modeling pretraining (reference: cli.py:160-244)."""
     from vision_spectra_tpu.models import MIMModel
-    from vision_spectra_tpu.training import MIMTrainer
+    from vision_spectra_tpu.training import MIMTrainer, select_trainer
 
     cfg = _build_config(
         config_path, name=name, dataset=dataset, epochs=epochs,
@@ -236,6 +242,7 @@ def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_pat
         model=model, mask_ratio=mask_ratio, data_axis=data_axis,
         model_axis=model_axis, aug_mode=aug_mode,
         pretrained_path=pretrained_path, use_flash=use_flash,
+        streaming=streaming,
     )
     ds, info, encoder, desc, dtype = _prepare(cfg)
     mim = MIMModel(
@@ -247,7 +254,7 @@ def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_pat
         norm_pix_loss=cfg.loss.mim_norm_pix,
         dtype=dtype,
     )
-    trainer = MIMTrainer(cfg, mim, ds)
+    trainer = select_trainer(MIMTrainer, cfg, ds)(cfg, mim, ds)
     history = trainer.train()
     click.echo(f"Final: {history}")
     trainer.cleanup()
@@ -261,11 +268,11 @@ def pretrain_mim(dataset, epochs, batch_size, lr, seed, device, name, config_pat
 @click.option("--encoder-lr-scale", default=0.1, help="Encoder LR scale for layer-wise LR")
 def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
              config_path, smoke_test, data_dir, output_dir, aug_mode,
-             data_axis, model_axis, pretrained_path, use_flash, loss,
-             freeze_encoder, encoder_lr_scale):
+             data_axis, model_axis, pretrained_path, use_flash, streaming,
+             loss, freeze_encoder, encoder_lr_scale):
     """Finetune from a pretrained checkpoint (reference: cli.py:247-338)."""
     from vision_spectra_tpu.losses import get_loss
-    from vision_spectra_tpu.training import FinetuneTrainer
+    from vision_spectra_tpu.training import FinetuneTrainer, select_trainer
     from vision_spectra_tpu.utils.checkpointing import load_checkpoint
 
     cfg = _build_config(
@@ -274,6 +281,7 @@ def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
         smoke_test=smoke_test, data_dir=data_dir, output_dir=output_dir,
         loss=loss, data_axis=data_axis, model_axis=model_axis,
         aug_mode=aug_mode, pretrained_path=pretrained_path, use_flash=use_flash,
+        streaming=streaming,
     )
     # Read the model architecture out of the saved checkpoint config.
     ckpt = load_checkpoint(checkpoint)
@@ -286,7 +294,7 @@ def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
     ds, info, encoder, desc, _ = _prepare(cfg)
     loss_fn = get_loss(cfg.loss, samples_per_class=info.class_counts["train"]
                        if cfg.loss.classification.value == "class_balanced" else None)
-    trainer = FinetuneTrainer(
+    trainer = select_trainer(FinetuneTrainer, cfg, ds)(
         cfg, encoder, ds, loss_fn,
         pretrained_checkpoint=checkpoint,
         freeze_encoder=freeze_encoder,
@@ -306,12 +314,12 @@ def finetune(checkpoint, dataset, epochs, batch_size, lr, seed, device, name,
 @click.option("--model", "-m", default="vit_tiny_patch16_224", help="Model name")
 def train_mtl(dataset, epochs, batch_size, lr, seed, device, name, config_path,
               smoke_test, data_dir, output_dir, aug_mode, data_axis,
-              model_axis, pretrained_path, use_flash, loss, cls_weight,
-              mim_weight, mask_ratio, model):
+              model_axis, pretrained_path, use_flash, streaming, loss,
+              cls_weight, mim_weight, mask_ratio, model):
     """Multitask classification + MIM training (reference: cli.py:341-444)."""
     from vision_spectra_tpu.losses import get_loss
     from vision_spectra_tpu.models import MultitaskViT
-    from vision_spectra_tpu.training import MultitaskTrainer
+    from vision_spectra_tpu.training import MultitaskTrainer, select_trainer
 
     cfg = _build_config(
         config_path, name=name, dataset=dataset, epochs=epochs,
@@ -321,6 +329,7 @@ def train_mtl(dataset, epochs, batch_size, lr, seed, device, name, config_path,
         cls_weight=cls_weight, mim_weight=mim_weight,
         data_axis=data_axis, model_axis=model_axis, aug_mode=aug_mode,
         pretrained_path=pretrained_path, use_flash=use_flash,
+        streaming=streaming,
     )
     ds, info, encoder, desc, dtype = _prepare(cfg)
     mtl = MultitaskViT(
@@ -333,7 +342,7 @@ def train_mtl(dataset, epochs, batch_size, lr, seed, device, name, config_path,
         dtype=dtype,
     )
     loss_fn = get_loss(cfg.loss)
-    trainer = MultitaskTrainer(cfg, mtl, ds, loss_fn)
+    trainer = select_trainer(MultitaskTrainer, cfg, ds)(cfg, mtl, ds, loss_fn)
     history = trainer.train()
     click.echo(f"Final: {history}")
     trainer.cleanup()

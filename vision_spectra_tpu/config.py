@@ -213,6 +213,11 @@ class TrainingConfig(BaseModel):
 
     smoke_test: bool = Field(default=False)
 
+    # Escape hatch: force the per-step streaming trainers instead of the
+    # fused-epoch device program that training commands select by default
+    # for device-resident datasets (training/fused.py select_trainer).
+    streaming: bool = Field(default=False)
+
 
 class SpectralConfig(BaseModel):
     """Spectral metrics configuration (reference: settings.py:192-223)."""

@@ -12,6 +12,7 @@ from vision_spectra_tpu.training.fused import (
     FusedMIMTrainer,
     FusedMultitaskTrainer,
     make_fused_epoch_fn,
+    select_trainer,
 )
 from vision_spectra_tpu.training.metrics import (
     accuracy_from_cm,
@@ -51,4 +52,5 @@ __all__ = [
     "macro_auroc",
     "macro_f1_from_cm",
     "make_optimizer",
+    "select_trainer",
 ]

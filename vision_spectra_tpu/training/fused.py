@@ -40,6 +40,7 @@ from vision_spectra_tpu.training.state import TrainState, apply_updates
 __all__ = [
     "make_fused_epoch_fn",
     "fuse_train_core",
+    "select_trainer",
     "FusedEpochMixin",
     "FusedClassificationTrainer",
     "FusedMIMTrainer",
@@ -306,3 +307,33 @@ class FusedMultitaskTrainer(FusedEpochMixin, MultitaskTrainer):
 class FusedFinetuneTrainer(FusedEpochMixin, FinetuneTrainer):
     """Finetune trainer with fused epochs (the per-leaf LR-multiplier pytree
     is passed into the scanned program like any other argument)."""
+
+
+_FUSED_BY_REGIME: dict[type, type] = {
+    ClassificationTrainer: FusedClassificationTrainer,
+    MIMTrainer: FusedMIMTrainer,
+    MultitaskTrainer: FusedMultitaskTrainer,
+    FinetuneTrainer: FusedFinetuneTrainer,
+}
+
+
+def select_trainer(streaming_cls: type, config: Any, dataset: Any) -> type:
+    """Resolve the trainer class a training command should construct.
+
+    The fused-epoch trainer is the product path (it is what bench.py, the
+    experiments layer, and the multichip dryrun all run); every CLI training
+    command routes through here so users get the benched throughput, not the
+    per-step streaming loop — the reference's one command *is* its real
+    training path (reference: vision_spectra/cli.py:72-157).
+
+    Falls back to the streaming trainer when:
+    - ``config.training.streaming`` (the ``--streaming`` escape hatch),
+    - smoke mode (caps batches per epoch; fused epochs always run the full
+      split, and the mixin would stream anyway — skip the HBM upload too),
+    - the dataset has no device-resident split (``get_train_split``).
+    """
+    if config.training.streaming or config.training.smoke_test:
+        return streaming_cls
+    if not hasattr(dataset, "get_train_split"):
+        return streaming_cls
+    return _FUSED_BY_REGIME.get(streaming_cls, streaming_cls)

@@ -122,6 +122,42 @@ class MIMTrainer(BaseTrainer):
         loss_sum, batches = np.asarray(acc)
         return {"loss": float(loss_sum) / max(batches, 1)}
 
+    def _alignment_grads(self):
+        """Reconstruction-loss gradients on one batch (no update) for the
+        opt-in gradient-alignment instrument (reference ships the math but
+        never wires it: metrics/gradient_alignment.py:118-154)."""
+        batch = next(iter(self.train_loader), None)
+        if batch is None:
+            return None
+        if not hasattr(self, "_align_grad_fn"):
+            model = self.model
+            num_channels = self.info.num_channels
+            mask_ratio = self.config.model.mask_ratio
+
+            @jax.jit
+            def grad_fn(params, images_u8, key):
+                k_aug, k_drop, k_mask = jax.random.split(key, 3)
+                images = mim_augment(images_u8, k_aug, num_channels=num_channels)
+
+                def loss(p):
+                    l, _pred, _mask = model.apply(
+                        {"params": p},
+                        images,
+                        mask_ratio,
+                        deterministic=False,
+                        rngs={"dropout": k_drop, "mask": k_mask},
+                    )
+                    return l
+
+                return jax.grad(loss)(params)
+
+            self._align_grad_fn = grad_fn
+        return self._align_grad_fn(
+            self.state.params,
+            self.put_batch(batch.images),
+            self.step_key(self.global_step),
+        )
+
     def _save_examples(self, epoch: int) -> None:
         """Reconstruction grids (reference: mim.py:46-73)."""
         batch = next(iter(self.val_loader), None)

@@ -209,6 +209,45 @@ class MultitaskTrainer(BaseTrainer):
             "f1_macro": macro_f1_from_cm(cm),
         }
 
+    def _alignment_grads(self):
+        """Weighted multitask-loss gradients on one batch (no update) for the
+        opt-in gradient-alignment instrument (see
+        BaseTrainer._log_gradient_alignment)."""
+        batch = next(iter(self.train_loader), None)
+        if batch is None:
+            return None
+        if not hasattr(self, "_align_grad_fn"):
+            model = self.model
+            loss_fn = self.loss_fn
+            augment = self._train_augment_fn()
+            mask_ratio = self.config.model.mask_ratio
+            cls_w = self._cls_w
+            mim_w = self._mim_w
+
+            @jax.jit
+            def grad_fn(params, images_u8, labels, key):
+                k_aug, k_drop, k_mask = jax.random.split(key, 3)
+                images = augment(images_u8, k_aug)
+
+                def loss(p):
+                    logits, mim_loss, _pred, _mask = model.apply(
+                        {"params": p},
+                        images,
+                        mode="multitask",
+                        mask_ratio=mask_ratio,
+                        deterministic=False,
+                        rngs={"dropout": k_drop, "mask": k_mask},
+                    )
+                    return cls_w * loss_fn(logits, labels) + mim_w * mim_loss
+
+                return jax.grad(loss)(params)
+
+            self._align_grad_fn = grad_fn
+        images, labels = self.put_batch(batch.images, batch.labels)
+        return self._align_grad_fn(
+            self.state.params, images, labels, self.step_key(self.global_step)
+        )
+
     def _save_examples(self, epoch: int) -> None:
         """Both prediction and MIM grids (reference: multitask.py:96-124)."""
         from vision_spectra_tpu import tracking
