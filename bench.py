@@ -22,6 +22,42 @@ import time
 import numpy as np
 
 
+# v5e bf16 matmul peak per chip. MFU below is conventional Model-FLOPs
+# Utilization: USEFUL model FLOPs only (block-diagonal attention counts the
+# within-image N x N scores, not the masked cross-image waste; recompute in
+# backward kernels is not credited).
+PEAK_TFLOPS = 197.0
+
+
+def vit_train_flops_per_image(
+    n_tokens: int,
+    embed_dim: int,
+    depth: int,
+    mlp_dim: int | None = None,
+    num_classes: int = 9,
+    patch: int = 16,
+    channels: int = 3,
+) -> float:
+    """Forward+backward model FLOPs per image for the ViT classifier.
+
+    Matmul terms only (LN/softmax/GELU are VPU noise next to these):
+    patch embed, per block QKV + attention (2 N^2 E useful) + proj + MLP,
+    head. Backward counted as 2x forward (standard MFU convention).
+    """
+    f = mlp_dim if mlp_dim is not None else 4 * embed_dim
+    n_patches = n_tokens - 1
+    e = embed_dim
+    fwd = 2 * n_patches * (patch * patch * channels) * e
+    per_block = (
+        2 * n_tokens * 3 * e * e      # fused QKV
+        + 2 * 2 * n_tokens * n_tokens * e  # scores + probs·V (useful)
+        + 2 * n_tokens * e * e        # attention out-proj
+        + 2 * 2 * n_tokens * e * f    # MLP fc1 + fc2
+    )
+    fwd += depth * per_block + 2 * e * num_classes
+    return 3.0 * fwd
+
+
 def main() -> None:
     import os
     import threading
@@ -198,9 +234,15 @@ def main() -> None:
     dt = time.perf_counter() - t0
     fused_per_sec = n_epochs * (n_fused // batch_size) * batch_size / dt
     per_chip = fused_per_sec / max(1, n_devices)
+    flag_flops = vit_train_flops_per_image(2, 192, 12, patch=16)
+    flag_mfu = (
+        f", MFU {per_chip * flag_flops / 1e12 / PEAK_TFLOPS * 100:.1f}%"
+        if platform == "tpu"
+        else ""
+    )
     print(
         f"train-cls (fused epoch): {n_epochs} epochs x {n_fused} in {dt:.3f}s -> "
-        f"{per_chip:,.0f} img/s/chip (loss={acc_np[0] / acc_np[2]:.4f})",
+        f"{per_chip:,.0f} img/s/chip (loss={acc_np[0] / acc_np[2]:.4f}{flag_mfu})",
         file=sys.stderr,
     )
     per_chip = max(per_chip, per_chip_streaming)
@@ -249,7 +291,8 @@ def main() -> None:
     imgs_small = images_dev[:n_small]
     labs_small = labels_dev[:n_small]
 
-    def bench_fused(tag, core, params, stats_len, lr_mult=None, epochs=None):
+    def bench_fused(tag, core, params, stats_len, lr_mult=None, epochs=None,
+                    flops_per_img=None):
         st = TrainState.create(params, tx)
         fn = fuse_train_core(core, batch_size=batch_size, stats_len=stats_len)
         st, acc = fn(st, imgs_small, labs_small, jax.random.key(0), lr, lr_mult)
@@ -270,7 +313,12 @@ def main() -> None:
         np.asarray(acc)
         dt = time.perf_counter() - t0
         ips = epochs * (n_small // batch_size) * batch_size / dt / max(1, n_devices)
-        print(f"{tag} (fused epoch): {ips:,.0f} img/s/chip", file=sys.stderr)
+        mfu = ""
+        if flops_per_img is not None and platform == "tpu":
+            mfu_pct = ips * flops_per_img / 1e12 / PEAK_TFLOPS * 100
+            mfu = f" (MFU {mfu_pct:.1f}%)"
+        print(f"{tag} (fused epoch): {ips:,.0f} img/s/chip{mfu}",
+              file=sys.stderr)
         return ips
 
     # MIM
@@ -364,7 +412,10 @@ def main() -> None:
         state = apply_updates(state, grads, tx, lr_s, lr_mult)
         return state, jnp.stack([loss, jnp.float32(1.0)])
 
-    bench_fused("train-cls patch4 (50 tokens)", p4_core, p4_params, 2)
+    bench_fused(
+        "train-cls patch4 (50 tokens)", p4_core, p4_params, 2,
+        flops_per_img=vit_train_flops_per_image(50, 192, 12, patch=4),
+    )
 
     # MIM at its realistic geometry: patch 4 -> 49 patches, mask 0.75 ->
     # 13 visible tokens; the masked encoder routes through the fused block

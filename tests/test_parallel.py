@@ -8,9 +8,9 @@ import pytest
 from vision_spectra_tpu.config import OptimizerConfig
 from vision_spectra_tpu.losses import make_cross_entropy
 from vision_spectra_tpu.models import build_vit
+from helpers_sharded import make_sharded_train_step
 from vision_spectra_tpu.parallel import (
     make_mesh,
-    make_sharded_train_step,
     param_shardings,
 )
 from vision_spectra_tpu.training.state import TrainState, make_optimizer

@@ -370,7 +370,7 @@ def _make_kernel_gather(h: int, w: int, c: int, bilinear: bool,
     return kernel
 
 
-def _pick_group(b: int, hw: int = 28 * 28) -> int:
+def _pick_group(b: int, hw: int) -> int:
     # Largest divisor that still leaves MIN_GRID pipelined grid steps AND
     # fits the VMEM cost model (group scales down as images grow); tiny
     # batches (b < 4*MIN_GRID) just take their largest fitting divisor.

@@ -1,4 +1,9 @@
-"""Device mesh, sharding rules, and pjit train steps (dp × tp)."""
+"""Device mesh and sharding rules (dp × tp).
+
+Trainers consume these through BaseTrainer (training/base.py) and the
+fused-epoch scan (training/fused.py); there is no separate pjit step builder
+in the package (the test-only one lives in tests/helpers_sharded.py).
+"""
 
 from vision_spectra_tpu.parallel.mesh import (
     DATA_AXIS,
@@ -10,14 +15,12 @@ from vision_spectra_tpu.parallel.mesh import (
     shard_state,
     state_shardings,
 )
-from vision_spectra_tpu.parallel.train import make_sharded_train_step
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
     "make_mesh",
-    "make_sharded_train_step",
     "param_shardings",
     "replicated",
     "shard_state",
