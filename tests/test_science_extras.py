@@ -74,6 +74,41 @@ class TestStatistical:
         assert checks["B_sr_lt_A"]["supported"] is True
         assert checks["C_alpha_gt_B"]["supported"] is True
         assert checks["overall"]["num_supported"] == 3
+        # No delta_alpha series supplied -> no BCF-contract entries.
+        assert "dalpha_ordering_BCF" not in checks
+
+    def test_validate_hypothesis_bcf_contract(self):
+        """Complex-data qualitative contract (reference README.md:104-106):
+        Δα > 0 on B/C/F, ordering B < C < F, over-compression degrades
+        accuracy past the 0.3 threshold."""
+        good = {
+            "B": {"delta_alpha": [0.16, 0.18], "accuracy": [70.0]},
+            "C": {"delta_alpha": [0.26, 0.28], "accuracy": [65.0]},
+            "F": {"delta_alpha": [0.45, 0.47], "accuracy": [56.0]},
+        }
+        checks = validate_hypothesis(good)
+        assert checks["dalpha_positive_BCF"]["supported"] is True
+        assert checks["dalpha_ordering_BCF"]["supported"] is True
+        assert checks["overcompression_degrades_accuracy"]["supported"] is True
+
+        # Wrong-sign F (the round-2 failure mode) breaks both Δα checks.
+        bad = {
+            "B": {"delta_alpha": [0.16], "accuracy": [70.0]},
+            "C": {"delta_alpha": [0.34], "accuracy": [65.0]},
+            "F": {"delta_alpha": [-0.04], "accuracy": [56.0]},
+        }
+        checks = validate_hypothesis(bad)
+        assert checks["dalpha_positive_BCF"]["supported"] is False
+        assert checks["dalpha_ordering_BCF"]["supported"] is False
+        # C is past the threshold yet outscores nobody below it incorrectly:
+        # C (0.34 > 0.3) must have lower accuracy than B (0.16 <= 0.3) — but
+        # F (below threshold here) has the minimum, so the check fails.
+        assert checks["overcompression_degrades_accuracy"]["supported"] is False
+
+        # Missing a scenario -> not checkable, not failed.
+        partial = {"B": {"delta_alpha": [0.2], "accuracy": [70.0]}}
+        checks = validate_hypothesis(partial)
+        assert checks["dalpha_positive_BCF"]["supported"] is None
 
 
 class TestGradientAlignment:

@@ -167,6 +167,15 @@ def validate_hypothesis(
     - B final alpha > A final alpha (complex data compresses more),
     - B stable rank < A stable rank,
     - C alpha > B alpha (reduced capacity compresses more on complex data).
+
+    When ``delta_alpha`` (and optionally ``accuracy``) series are supplied,
+    the complex-data qualitative contract is also checked (reference
+    README.md:104-106; VERDICT r2 next-round #2):
+
+    - Δα > 0 for each of B, C, F,
+    - ordering Δα(B) < Δα(C) < Δα(F),
+    - over-compression: scenarios past the Δα ≈ 0.3 threshold have lower
+      accuracy than those below it.
     """
     checks: dict[str, Any] = {}
 
@@ -202,6 +211,45 @@ def validate_hypothesis(
         if np.isfinite(b_alpha) and np.isfinite(c_alpha)
         else None,
     }
+    # Complex-data qualitative contract, checked when Δα series exist.
+    dalphas = {s: mean_of(s, "delta_alpha") for s in ("B", "C", "F")}
+    if any(np.isfinite(v) for v in dalphas.values()):
+        finite = {s: v for s, v in dalphas.items() if np.isfinite(v)}
+        checks["dalpha_positive_BCF"] = {
+            "prediction": "delta alpha > 0 for B, C, F",
+            "values": dalphas,
+            "supported": bool(all(v > 0 for v in finite.values()))
+            if len(finite) == 3
+            else None,
+        }
+        checks["dalpha_ordering_BCF"] = {
+            "prediction": "delta alpha B < C < F",
+            "values": dalphas,
+            "supported": bool(
+                dalphas["B"] < dalphas["C"] < dalphas["F"]
+            )
+            if len(finite) == 3
+            else None,
+        }
+        accs = {s: mean_of(s, "accuracy") for s in ("B", "C", "F")}
+        over = [s for s, v in finite.items() if v > 0.3]
+        under = [s for s, v in finite.items() if v <= 0.3]
+        both = (
+            over
+            and under
+            and all(np.isfinite(accs[s]) for s in over + under)
+        )
+        checks["overcompression_degrades_accuracy"] = {
+            "prediction": "scenarios with delta alpha > 0.3 have lower "
+            "accuracy than those below the threshold",
+            "values": {"delta_alpha": dalphas, "accuracy": accs},
+            "supported": bool(
+                max(accs[s] for s in over) < min(accs[s] for s in under)
+            )
+            if both
+            else None,
+        }
+
     supported = [c["supported"] for c in checks.values() if c["supported"] is not None]
     checks["overall"] = {
         "num_checked": len(supported),
