@@ -257,17 +257,133 @@ def _stratified_indices(
 # costs minutes on a single host core.
 _SURROGATE_CACHE: dict[tuple, ArraySplit] = {}
 
+# ---------------------------------------------------------------------------
+# Difficulty calibration (VERDICT r2 next-round #2). The round-1/2 surrogate
+# (one fixed plane-wave texture per class) was linearly separable: scenarios
+# B/C/F all hit 100% accuracy, no capacity pressure existed, and scenario F's
+# Δα came out with the wrong sign. The v3 surrogate makes the task hard along
+# three axes so capacity-constrained models are actually under pressure:
+#
+# 1. **Class overlap** — each image's *texture class* equals its label only
+#    with probability ``SURROGATE_OVERLAP_Q``; otherwise it is drawn from a
+#    uniformly random OTHER class. The Bayes-optimal classifier therefore
+#    predicts the texture's class and achieves accuracy exactly q — a hard,
+#    analytically known ceiling (reference scenario B publishes 70.9% val
+#    accuracy on real PathMNIST; q is calibrated so a ViT-Tiny lands nearby).
+# 2. **Intra-class variability with SHARED structure** — all classes draw
+#    from one pool of P integer-frequency plane-wave components; a class is
+#    a characteristic positive *mixing profile* over the pool, and every
+#    sample jitters that profile (gamma-multiplicative weights) and draws
+#    fresh per-component phases (phase diversity via the sin/cos basis trick
+#    keeps generation one matmul), plus per-sample contrast/brightness
+#    jitter. Because class subspaces OVERLAP, discrimination means
+#    estimating relative component energies, which is graded in model
+#    capacity — near-orthogonal per-class textures (the v3.0 design) were
+#    solvable by a 1-layer 32-dim model and produced no capacity ordering.
+# 3. **Local structure** — oriented-grating *motifs* from a shared pool are
+#    pasted into random grid cells at random gains (histology-like local
+#    patches); classes differ in their motif-usage distribution, so class
+#    evidence is also carried by integrating local occurrences.
+#
+# Calibrated on TPU (results/run_bcf.py): scenario B val accuracy lands in
+# the reference's ~70% band, sub-100% everywhere, Δα > 0 with ordering
+# B < C < F (see results/RESULTS.md BCF table).
+# ---------------------------------------------------------------------------
+SURROGATE_OVERLAP_Q = 0.80  # P(texture class == label) — Bayes ceiling
+SURROGATE_POOL = 12  # shared plane-wave components (P)
+SURROGATE_PROFILE_CONC = 0.45  # Dirichlet concentration of class profiles
+SURROGATE_TEXTURE_AMP = 0.26  # texture std in [0,1] pixel units
+SURROGATE_MOTIF_POOL = 12  # shared oriented-grating motifs
+SURROGATE_MOTIF_CONC = 0.5  # Dirichlet concentration of class motif usage
+SURROGATE_MOTIF_PROB = 0.35  # per grid cell
+SURROGATE_MOTIF_AMP = 0.38
+SURROGATE_NOISE_STD = 0.12  # additive uniform noise std in [0,1] units
+
+_SURROGATE_BANKS: dict[tuple, tuple] = {}
+
+
+def _surrogate_banks(name: str, image_size: int) -> tuple:
+    """Shared texture/motif pools + per-class usage profiles (cached;
+    identical across splits).
+
+    Returns ``(basis, profiles, motifs, motif_cdf, colors)``:
+    - ``basis`` [2P, H·W·C]: sin and cos of P shared integer-frequency plane
+      waves with 1/|f| amplitude decay and per-component channel gains.
+      Integer frequencies make the textures seamless; per-sample phases are
+      realized as linear combinations of the sin/cos pair.
+    - ``profiles`` [k, P]: Dirichlet class mixing profiles over the pool —
+      class subspaces overlap by construction.
+    - ``motifs`` [M, cell, cell]: shared Hann-windowed oriented gratings.
+    - ``motif_cdf`` [k, M]: per-class cumulative motif-usage distribution.
+    - ``colors`` [M, C]: per-motif channel gains (shared — class evidence is
+      WHICH motifs appear, not their color).
+    """
+    key = (name, image_size)
+    cached = _SURROGATE_BANKS.get(key)
+    if cached is not None:
+        return cached
+
+    info = MEDMNIST_INFO[name]
+    c, k = info["num_channels"], info["num_classes"]
+    p = SURROGATE_POOL
+    class_rng = np.random.RandomState(1234)
+
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
+    yy /= image_size
+    xx /= image_size
+    # Shared pool: integer frequency pairs, |f| components in [1, 7].
+    freqs = class_rng.randint(1, 8, size=(p, 2)).astype(np.float32)
+    signs = class_rng.choice([-1.0, 1.0], size=(p, 2)).astype(np.float32)
+    freqs *= signs
+    gains = class_rng.uniform(0.35, 1.0, size=(p, c)).astype(np.float32)
+    amp = 1.0 / np.sqrt((freqs**2).sum(-1))  # naturalistic 1/|f| decay
+    basis = np.empty((2 * p, image_size * image_size * c), np.float32)
+    for comp in range(p):
+        fy, fx = freqs[comp]
+        phase = 2 * np.pi * (fy * yy + fx * xx)
+        a = amp[comp]
+        basis[comp] = ((a * np.sin(phase))[:, :, None] * gains[comp]).ravel()
+        basis[p + comp] = ((a * np.cos(phase))[:, :, None] * gains[comp]).ravel()
+
+    profiles = class_rng.dirichlet(
+        [SURROGATE_PROFILE_CONC] * p, size=k
+    ).astype(np.float32)
+
+    cell = max(image_size // 4, 2)
+    m = SURROGATE_MOTIF_POOL
+    u, v = np.mgrid[0:cell, 0:cell].astype(np.float32) / cell - 0.5
+    window = (
+        np.hanning(cell)[:, None] * np.hanning(cell)[None, :]
+    ).astype(np.float32)
+    theta = class_rng.uniform(0, np.pi, size=m).astype(np.float32)
+    mfreq = class_rng.uniform(1.5, 3.5, size=m).astype(np.float32)
+    motifs = np.empty((m, cell, cell), np.float32)
+    for i in range(m):
+        grating = np.sin(
+            2 * np.pi * mfreq[i]
+            * (np.cos(theta[i]) * u + np.sin(theta[i]) * v)
+        )
+        motifs[i] = grating * window
+    motif_usage = class_rng.dirichlet(
+        [SURROGATE_MOTIF_CONC] * m, size=k
+    ).astype(np.float32)
+    motif_cdf = np.cumsum(motif_usage, axis=1)
+    colors = class_rng.uniform(0.3, 1.0, size=(m, c)).astype(np.float32)
+
+    out = (basis, profiles, motifs, motif_cdf, colors)
+    _SURROGATE_BANKS[key] = out
+    return out
+
 
 def _surrogate_split(
     name: str, split: str, n: int, image_size: int, seed: int
 ) -> ArraySplit:
-    """Deterministic class-conditional texture surrogate for missing data.
+    """Deterministic, difficulty-calibrated class-texture surrogate.
 
-    Each class gets a fixed set of spatial frequency components plus noise, so
-    a classifier can learn it (useful for pipeline smoke tests) and the data
-    statistics are stable across runs. Noise is generated in float32 with
-    PCG64 (the legacy float64 randn + astype path dominated wall-clock on
-    single-core hosts).
+    See the calibration block above for the generative model; constants are
+    module-level so the calibration is inspectable. Noise comes from raw
+    uint8 draws (float RNG paths are ~20x slower on weak host cores and the
+    exact noise distribution is irrelevant for a surrogate).
     """
     key = (name, split, n, image_size, seed)
     cached = _SURROGATE_CACHE.get(key)
@@ -276,47 +392,85 @@ def _surrogate_split(
 
     info = MEDMNIST_INFO[name]
     c, k = info["num_channels"], info["num_classes"]
+    p = SURROGATE_POOL
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, k, size=n)
     gen = np.random.Generator(np.random.SFC64(seed))  # fastest bit generator here
 
-    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
-    # Per-class basis: 3 random plane waves per channel.
-    class_rng = np.random.RandomState(1234)
-    waves = class_rng.uniform(1.0, 6.0, size=(k, c, 3, 2)).astype(np.float32)
-    phases = class_rng.uniform(0, 2 * np.pi, size=(k, c, 3)).astype(np.float32)
+    basis, profiles, motifs, motif_cdf, colors = _surrogate_banks(
+        name, image_size
+    )
+    cell = motifs.shape[-1]
+    grid = image_size // cell
 
-    # Per-class normalized bases [k, H, W, C].
-    bases = np.zeros((k, image_size, image_size, c), dtype=np.float32)
-    for cls in range(k):
-        for ch in range(c):
-            for w in range(3):
-                fy, fx = waves[cls, ch, w]
-                bases[cls, :, :, ch] += np.sin(
-                    2 * np.pi * (fy * yy + fx * xx) + phases[cls, ch, w]
-                )
-        b = bases[cls]
-        bases[cls] = (b - b.min()) / (np.ptp(b) + 1e-6)
+    # Class overlap: the texture class equals the label with probability q.
+    tex = labels.copy()
+    flip = rng.rand(n) >= SURROGATE_OVERLAP_Q
+    if k > 1 and flip.any():
+        tex[flip] = (labels[flip] + rng.randint(1, k, size=int(flip.sum()))) % k
 
-    # Noise from raw uint8 draws (uniform, std 0.25 after scaling): float RNG
-    # paths are ~20x slower than integer draws on weak host cores, and the
-    # noise distribution's exact shape is irrelevant for a surrogate.
-    raw = gen.integers(0, 256, size=(n, image_size, image_size, c),
-                       dtype=np.uint8)
-    images = np.empty_like(raw)
-    scale = 0.25 * np.sqrt(12.0, dtype=np.float32) / 255.0
-    for cls in range(k):
-        idx = np.flatnonzero(labels == cls)
-        if idx.size == 0:
-            continue
-        vals = raw[idx].astype(np.float32)
-        vals *= scale
-        vals -= 0.5 * scale * 255.0
-        vals += bases[cls]
-        np.clip(vals, 0.0, 1.0, out=vals)
-        vals *= 255.0
-        images[idx] = vals.astype(np.uint8)
-    out = ArraySplit(images, labels)
+    # Per-sample texture = (coef·cosψ, coef·sinψ) @ (sin, cos) pool basis:
+    # the class profile, gamma-jittered per sample, with fresh phases — ONE
+    # matmul for the whole split.
+    coef = profiles[tex] * rng.gamma(1.5, size=(n, p)).astype(np.float32)
+    coef /= coef.sum(axis=1, keepdims=True) + 1e-6
+    psi = rng.uniform(0, 2 * np.pi, size=(n, p)).astype(np.float32)
+    c2w = np.concatenate([coef * np.cos(psi), coef * np.sin(psi)], axis=1)
+
+    img = np.empty((n, image_size, image_size, c), np.float32)
+    flat = img.reshape(n, -1)
+    # Chunked matmul keeps the temporaries cache-friendly on the 1-core host.
+    step = 16384
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        flat[lo:hi] = c2w[lo:hi] @ basis
+    # Contrast-normalize the texture, then scale to the calibrated amplitude.
+    std = flat.std(axis=1, keepdims=True) + 1e-6
+    flat /= std
+    flat *= SURROGATE_TEXTURE_AMP
+    flat += 0.5
+
+    # Local motifs: per grid cell, a random subset of images receives a motif
+    # drawn from the texture class's usage distribution, at a random gain.
+    for gy in range(grid):
+        for gx in range(grid):
+            sel = np.flatnonzero(rng.rand(n) < SURROGATE_MOTIF_PROB)
+            if sel.size == 0:
+                continue
+            u = rng.rand(sel.size).astype(np.float32)
+            mid = np.minimum(
+                (motif_cdf[tex[sel]] < u[:, None]).sum(axis=1),
+                motif_cdf.shape[1] - 1,
+            )
+            gain = rng.uniform(0.5, 1.0, size=sel.size).astype(np.float32)
+            gain *= SURROGATE_MOTIF_AMP
+            patch = motifs[mid]  # [s, cell, cell]
+            col = colors[mid]  # [s, C]
+            patch = patch[:, :, :, None] * (gain[:, None] * col)[:, None, None, :]
+            img[
+                sel, gy * cell : (gy + 1) * cell, gx * cell : (gx + 1) * cell
+            ] += patch
+
+    # Per-sample brightness/contrast jitter.
+    contrast = rng.uniform(0.8, 1.2, size=(n, 1)).astype(np.float32)
+    bright = rng.uniform(-0.08, 0.08, size=(n, 1)).astype(np.float32)
+    flat -= 0.5
+    flat *= contrast
+    flat += 0.5 + bright
+
+    # Additive noise from raw uint8 draws (uniform, calibrated std).
+    raw = gen.integers(
+        0, 256, size=(n, image_size, image_size, c), dtype=np.uint8
+    )
+    scale = SURROGATE_NOISE_STD * np.sqrt(12.0, dtype=np.float32) / 255.0
+    noise = raw.astype(np.float32)
+    noise *= scale
+    noise -= 0.5 * scale * 255.0
+    img += noise
+    del noise
+    np.clip(img, 0.0, 1.0, out=img)
+    img *= 255.0
+    out = ArraySplit(img.astype(np.uint8), labels)
     _SURROGATE_CACHE[key] = out
     return out
 
