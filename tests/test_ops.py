@@ -613,6 +613,31 @@ class TestFusedBlockGeneralN:
         b = np.asarray(m_f.apply({"params": params}, x, deterministic=True))
         assert np.abs(a - b).max() < 0.05 * max(np.abs(a).max(), 1.0)
 
+    def test_masked_path_forward_parity(self, monkeypatch):
+        """The masked [T, T] attention remains env-selectable
+        (VST_MIDN_MASKED=1) for A/B measurement — keep it correct."""
+        monkeypatch.setenv("VST_MIDN_MASKED", "1")
+        x = self._data()
+        m_x = self._build(False, jnp.bfloat16)
+        m_f = self._build(True, jnp.bfloat16)
+        params = m_x.init(jax.random.key(0), x[:2])["params"]
+        a = np.asarray(m_x.apply({"params": params}, x, deterministic=True))
+        b = np.asarray(m_f.apply({"params": params}, x, deterministic=True))
+        assert np.abs(a - b).max() < 0.05 * max(np.abs(a).max(), 1.0)
+
+    def test_per_image_equals_masked_attention(self, monkeypatch):
+        """Per-image and masked mid-N attention are the same math — fused
+        outputs must agree to accumulation-order tolerance."""
+        x = self._data(b=8)
+        m_f = self._build(True, jnp.float32)
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+        monkeypatch.setenv("VST_MIDN_MASKED", "1")
+        monkeypatch.setenv("VST_MIDN_TILE_ROWS", "400")
+        a = np.asarray(m_f.apply({"params": params}, x, deterministic=True))
+        monkeypatch.delenv("VST_MIDN_MASKED")
+        b = np.asarray(m_f.apply({"params": params}, x, deterministic=True))
+        assert np.abs(a - b).max() < 2e-2 * max(np.abs(a).max(), 1.0)
+
     def test_grads_at_least_as_accurate_as_xla_bf16(self):
         """Against an f32 ground truth, the fused kernel's grads must be no
         noisier than the XLA bf16 path's own grads (cancellation-heavy bias
@@ -642,13 +667,21 @@ class TestFusedBlockGeneralN:
             err_f = max(err_f, np.abs(np.asarray(af, np.float32) - a32).max() / s)
         assert err_f <= 2.0 * err_x
 
-    def test_tile_selection(self):
+    def test_tile_selection(self, monkeypatch):
         from vision_spectra_tpu.ops.block_fused import select_tile
 
         assert select_tile(512, 2) == 256
-        assert select_tile(16 * 50, 50) == 200  # k=4 divides batch 16
+        # Mid-N row budget is 512 on the (default) per-image path.
+        assert select_tile(16 * 50, 50) == 400  # k=8 divides batch 16
         assert select_tile(5 * 50, 50) == 250  # k=5 divides batch 5
         assert select_tile(7 * 130, 130) is None  # N too large
+        # The masked A/B path keeps its historical 256-row budget.
+        monkeypatch.setenv("VST_MIDN_MASKED", "1")
+        assert select_tile(16 * 50, 50) == 200  # k=4
+        monkeypatch.delenv("VST_MIDN_MASKED")
+        monkeypatch.setenv("VST_MIDN_TILE_ROWS", "256")
+        assert select_tile(16 * 50, 50) == 200  # explicit budget override
+        monkeypatch.delenv("VST_MIDN_TILE_ROWS")
         assert select_tile(250, 2) is None  # no 16-aligned divisor
         # Science-protocol batches: tile = whole batch (VERDICT r1 item 8).
         assert select_tile(64, 2) == 64

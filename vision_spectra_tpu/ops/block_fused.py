@@ -64,6 +64,21 @@ _LN_EPS = 1e-6
 N_PARAMS = 16
 
 
+def _midn_tile_rows() -> int:
+    """Row budget for mid-N tiles (env override ``VST_MIDN_TILE_ROWS`` for
+    measurement sweeps; see results/bench_midn.py). Default 512: measured
+    faster than 256 at the patch-4 geometry (fewer grid steps, larger
+    matmuls) while the per-image attention keeps VMEM flat in k."""
+    import os
+
+    v = os.environ.get("VST_MIDN_TILE_ROWS", "")
+    if v:
+        return int(v)
+    # The masked path materializes [T, T] scores per head — keep its
+    # historical 256-row budget; per-image probs are k x [N, N], flat in k.
+    return 512 if _midn_per_image() else 256
+
+
 def select_tile(rows: int, n_tokens: int) -> int | None:
     """Row-tile size for this geometry, or None if the kernel can't serve it.
 
@@ -73,8 +88,8 @@ def select_tile(rows: int, n_tokens: int) -> int | None:
     at N = 2 -> 64/128 rows; VERDICT r1 item 8) where the tile is simply the
     whole batch. 16-row alignment keeps bf16/f32 sublane tiling happy;
     even tiles keep CLS/patch pairs from straddling tiles.
-    2 < N <= 128 uses block-diagonal masked attention within the tile: the
-    tile is k·N rows for the largest k with k·N <= 256 that divides the
+    2 < N <= 128 uses per-image attention within the tile: the tile is k·N
+    rows for the largest k with k·N <= the mid-N row budget that divides the
     batch, so whole images never straddle tiles.
     """
     if rows % n_tokens:
@@ -90,7 +105,7 @@ def select_tile(rows: int, n_tokens: int) -> int | None:
     if not 2 < n_tokens <= 128:
         return None
     batch = rows // n_tokens
-    for k in range(min(256 // n_tokens, batch), 0, -1):
+    for k in range(min(_midn_tile_rows() // n_tokens, batch), 0, -1):
         if batch % k == 0:
             return k * n_tokens
     return None
@@ -317,6 +332,98 @@ def _attn_fwd_general(q, k, v, n, heads, scale):
     return jnp.concatenate(outs, axis=1), ps
 
 
+def _midn_per_image() -> bool:
+    """Mid-N attention strategy: per-image dots (default) vs masked [T, T].
+
+    Per-image removes the factor-k masked-FLOP overhead of
+    :func:`_attn_fwd_general` AND shrinks the softmax/probability arrays
+    from [T, T] to k x [N, N], which is what lets the mid-N row budget grow
+    to 512 without blowing VMEM. ``VST_MIDN_MASKED=1`` restores the masked
+    path for A/B measurement (results/bench_midn.py)."""
+    from vision_spectra_tpu.core.runtime import env_flag
+
+    return not env_flag("VST_MIDN_MASKED")
+
+
+def _attn_fwd_per_image(q, k, v, n, heads, scale):
+    """Per-image attention for 2 < N <= 128: k·heads small MXU dots.
+
+    Same math as :func:`_attn_fwd_general` without the masked cross-image
+    FLOPs; ``ps`` is a [heads][k] nest of [N, N] probability matrices
+    consumed by :func:`_attn_bwd_per_image`.
+    """
+    t, e = q.shape
+    kimg = t // n
+    d = e // heads
+    outs = []
+    ps = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        oimg, pimg = [], []
+        for i in range(kimg):
+            rs = slice(i * n, (i + 1) * n)
+            s = jax.lax.dot_general(
+                qh[rs].astype(jnp.bfloat16), kh[rs].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = _softmax_rows(s)
+            pimg.append(p)
+            oimg.append(jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vh[rs].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        ps.append(pimg)
+        outs.append(jnp.concatenate(oimg, axis=0))
+    return jnp.concatenate(outs, axis=1), ps
+
+
+def _attn_bwd_per_image(dao, q, k, v, ps, n, heads, scale):
+    """Backward of :func:`_attn_fwd_per_image` given its per-head/img probs."""
+    t, e = q.shape
+    kimg = t // n
+    d = e // heads
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], dao[:, sl]
+        dqi, dki, dvi = [], [], []
+        for i in range(kimg):
+            rs = slice(i * n, (i + 1) * n)
+            p = ps[h][i]
+            pb = p.astype(jnp.bfloat16)
+            dv = jax.lax.dot_general(
+                pb, doh[rs].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                doh[rs].astype(jnp.bfloat16), vh[rs].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            dsb = ds.astype(jnp.bfloat16)
+            dqi.append(jax.lax.dot_general(
+                dsb, kh[rs].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale)
+            dki.append(jax.lax.dot_general(
+                dsb, qh[rs].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale)
+            dvi.append(dv)
+        dqs.append(jnp.concatenate(dqi, axis=0))
+        dks.append(jnp.concatenate(dki, axis=0))
+        dvs.append(jnp.concatenate(dvi, axis=0))
+    return (jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+            jnp.concatenate(dvs, axis=1))
+
+
 def _attn_bwd_general(dao, q, k, v, ps, heads, scale):
     """Backward of :func:`_attn_fwd_general` given its per-head probs."""
     t, e = q.shape
@@ -377,7 +484,7 @@ def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_body(x, params, m1, m2, e, heads, n):
+def _fwd_body(x, params, m1, m2, e, heads, n, per_img=False):
     """Shared forward trace; returns dict of intermediates.
 
     Weight matrices in ``params`` arrive bf16 (cast ONCE per step by the
@@ -398,6 +505,9 @@ def _fwd_body(x, params, m1, m2, e, heads, n):
     if n == 2:
         ao, a_s, a_c, pk, pv = _attn_fwd(q, k, v, g_mat, scale)
         ps = None
+    elif per_img:
+        ao, ps = _attn_fwd_per_image(q, k, v, n, heads, scale)
+        a_s = a_c = pk = pv = None
     else:
         ao, ps = _attn_fwd_general(q, k, v, n, heads, scale)
         a_s = a_c = pk = pv = None
@@ -427,19 +537,22 @@ def _load_params(param_refs):
     )
 
 
-def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype):
+def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype,
+                     per_img: bool):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, o_ref = refs[N_PARAMS:]
         x = x_ref[...].astype(jnp.float32)
         params = _load_params(param_refs)
-        t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads, n)
+        t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads, n,
+                      per_img)
         o_ref[...] = t["x_out"].astype(out_dtype)
 
     return kernel
 
 
-def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype):
+def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
+                     per_img: bool):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, dy_ref = refs[N_PARAMS:N_PARAMS + 3]
@@ -458,7 +571,7 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype):
          ln2s, ln2b, w1, b1, w2, b2) = params
         m1 = m1_ref[...]
         m2 = m2_ref[...]
-        t = _fwd_body(x, params, m1, m2, e, heads, n)
+        t = _fwd_body(x, params, m1, m2, e, heads, n, per_img)
         dy = dy_ref[...].astype(jnp.float32)
 
         # MLP branch.
@@ -482,6 +595,10 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype):
             dq, dk, dv = _attn_bwd(
                 dao, t["q"], t["k"], t["v"], t["a_s"], t["a_c"], t["pk"],
                 t["pv"], t["g_mat"], t["scale"],
+            )
+        elif per_img:
+            dq, dk, dv = _attn_bwd_per_image(
+                dao, t["q"], t["k"], t["v"], t["ps"], n, heads, t["scale"],
             )
         else:
             dq, dk, dv = _attn_bwd_general(
@@ -520,9 +637,9 @@ def _param_shapes(e: int, f: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
-               dtype_name: str, interpret: bool):
+               dtype_name: str, interpret: bool, per_img: bool = False):
     out_dtype = jnp.dtype(dtype_name)
-    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype)
+    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype, per_img)
     return pl.pallas_call(
         kernel,
         grid=(rows // tile,),
@@ -540,9 +657,9 @@ def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_bwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
-               dtype_name: str, interpret: bool):
+               dtype_name: str, interpret: bool, per_img: bool = False):
     x_dtype = jnp.dtype(dtype_name)
-    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype)
+    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype, per_img)
     grad_shapes = _param_shapes(e, f)
     return pl.pallas_call(
         kernel,
@@ -584,7 +701,8 @@ def _run_fwd(heads, n, interpret, x, params, m1, m2):
     rows, e = x.shape
     f = params[12].shape[1]
     tile = select_tile(rows, n)
-    call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name, interpret)
+    call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
+                      n > 2 and _midn_per_image())
     return call(x, *_cast_weights(params), m1, m2)
 
 
@@ -603,7 +721,8 @@ def _fused_block_bwd(heads, n, interpret, res, dy):
     rows, e = x.shape
     f = params[12].shape[1]
     tile = select_tile(rows, n)
-    call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret)
+    call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
+                      n > 2 and _midn_per_image())
     out = call(x, *_cast_weights(params), m1, m2, dy.astype(x.dtype))
     dx = out[0]
     dparams = tuple(
@@ -639,7 +758,8 @@ def fused_vit_block(
             ones when deterministic).
         num_heads: attention heads; E must divide evenly.
         n_tokens: tokens per image — 2 selects the pair-attention path, 3
-            to 128 the block-diagonal masked path.
+            to 128 the per-image mid-N path (masked [T, T] fallback via
+            ``VST_MIDN_MASKED=1``).
 
     Returns [rows, E] activations in ``x.dtype``. Differentiable wrt ``x``
     and ``params`` (masks receive zero cotangents).
