@@ -64,11 +64,14 @@ _LN_EPS = 1e-6
 N_PARAMS = 16
 
 
-def _midn_tile_rows() -> int:
+def _midn_tile_rows(n_tokens: int) -> int:
     """Row budget for mid-N tiles (env override ``VST_MIDN_TILE_ROWS`` for
-    measurement sweeps; see results/bench_midn.py). Default 512: measured
-    faster than 256 at the patch-4 geometry (fewer grid steps, larger
-    matmuls) while the per-image attention keeps VMEM flat in k."""
+    measurement sweeps; see results/bench_midn.py). The per-image default
+    is N-dependent, both points measured (round 3 sweep): at N=50 the
+    512-row budget wins (fewer grid steps, larger matmuls; 36.2k vs 34.8k
+    img/s fwd+bwd), at N=13 the 256-row budget wins (k doubles to 32
+    images per tile at 512 and the extra unrolled tiny [13, 13] dots cost
+    more than the grid steps saved; 104.9k vs 100.2k)."""
     import os
 
     v = os.environ.get("VST_MIDN_TILE_ROWS", "")
@@ -76,7 +79,9 @@ def _midn_tile_rows() -> int:
         return int(v)
     # The masked path materializes [T, T] scores per head — keep its
     # historical 256-row budget; per-image probs are k x [N, N], flat in k.
-    return 512 if _midn_per_image() else 256
+    if not _midn_per_image():
+        return 256
+    return 512 if n_tokens >= 32 else 256
 
 
 def select_tile(rows: int, n_tokens: int) -> int | None:
@@ -105,7 +110,7 @@ def select_tile(rows: int, n_tokens: int) -> int | None:
     if not 2 < n_tokens <= 128:
         return None
     batch = rows // n_tokens
-    for k in range(min(_midn_tile_rows() // n_tokens, batch), 0, -1):
+    for k in range(min(_midn_tile_rows(n_tokens) // n_tokens, batch), 0, -1):
         if batch % k == 0:
             return k * n_tokens
     return None
