@@ -225,13 +225,17 @@ def main() -> None:
     # fetch would add the full tunnel round trip (~32 ms, +25%) to every
     # epoch inside the timed region.
     n_epochs = 8
-    t0 = time.perf_counter()
-    for e in range(n_epochs):
-        state2, acc = epoch_fn(
-            state2, images_dev, labels_dev, jax.random.key(e + 1), lr
-        )
-    acc_np = np.asarray(acc)
-    dt = time.perf_counter() - t0
+    # Best of two windows — transient tunnel stalls reject, real
+    # regressions slow both (see bench_fused below).
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for e in range(n_epochs):
+            state2, acc = epoch_fn(
+                state2, images_dev, labels_dev, jax.random.key(e + 1), lr
+            )
+        acc_np = np.asarray(acc)
+        dt = min(dt, time.perf_counter() - t0)
     fused_per_sec = n_epochs * (n_fused // batch_size) * batch_size / dt
     per_chip = fused_per_sec / max(1, n_devices)
     flag_flops = vit_train_flops_per_image(2, 192, 12, patch=16)
@@ -263,13 +267,15 @@ def main() -> None:
         state3, images_dev, labels_dev, jax.random.key(0), lr
     )
     np.asarray(acc)
-    t0 = time.perf_counter()
-    for e in range(n_epochs):
-        state3, acc = epoch_ref(
-            state3, images_dev, labels_dev, jax.random.key(e + 1), lr
-        )
-    np.asarray(acc)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for e in range(n_epochs):
+            state3, acc = epoch_ref(
+                state3, images_dev, labels_dev, jax.random.key(e + 1), lr
+            )
+        np.asarray(acc)
+        dt = min(dt, time.perf_counter() - t0)
     ref_per_chip = n_epochs * (n_fused // batch_size) * batch_size / dt / max(
         1, n_devices
     )
@@ -306,12 +312,20 @@ def main() -> None:
             np.asarray(acc)
             est = time.perf_counter() - te
             epochs = max(2, min(16, int(np.ceil(1.2 / max(est, 1e-3)))))
-        t0 = time.perf_counter()
-        for e in range(epochs):
-            st, acc = fn(st, imgs_small, labs_small, jax.random.key(e + 1), lr,
-                         lr_mult)
-        np.asarray(acc)
-        dt = time.perf_counter() - t0
+        # Best of two windows: the tunnel stalls intermittently (hours-long
+        # outages, multi-second hiccups), and a single window can report a
+        # 30% dip that says nothing about the program (finetune measured
+        # 632k and 435k img/s across two runs of identical code). Taking
+        # the faster window rejects transient interference; real
+        # regressions slow BOTH windows.
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for e in range(epochs):
+                st, acc = fn(st, imgs_small, labs_small, jax.random.key(e + 1),
+                             lr, lr_mult)
+            np.asarray(acc)
+            dt = min(dt, time.perf_counter() - t0)
         ips = epochs * (n_small // batch_size) * batch_size / dt / max(1, n_devices)
         mfu = ""
         if flops_per_img is not None and platform == "tpu":
