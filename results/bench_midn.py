@@ -33,18 +33,21 @@ import jax.numpy as jnp  # noqa: E402
 from vision_spectra_tpu.models.vit import build_vit  # noqa: E402
 
 BATCH = 4096
-CONFIGS = [  # (label, fused, masked_env, tile_rows_env)
-    ("xla blocks", False, None, None),
-    ("masked T<=256 (r2 shipped)", True, "1", "256"),
-    ("per-image T<=256", True, None, "256"),
-    ("per-image T<=512", True, None, "512"),
-    ("masked T<=512", True, "1", "512"),
+CONFIGS = [  # (label, fused, masked_env, tile_rows_env, batched_env)
+    ("xla blocks", False, None, None, None),
+    ("masked T<=256 (r2 shipped)", True, "1", "256", None),
+    ("per-image T<=256", True, None, "256", None),
+    ("per-image T<=512", True, None, "512", None),
+    ("masked T<=512", True, "1", "512", None),
+    ("batched T<=256", True, None, "256", "1"),
+    ("batched T<=512", True, None, "512", "1"),
 ]
 
 
-def _set_env(masked, tile_rows) -> None:
+def _set_env(masked, tile_rows, batched) -> None:
     for var, val in (("VST_MIDN_MASKED", masked),
-                     ("VST_MIDN_TILE_ROWS", tile_rows)):
+                     ("VST_MIDN_TILE_ROWS", tile_rows),
+                     ("VST_MIDN_BATCHED", batched)):
         if val is None:
             os.environ.pop(var, None)
         else:

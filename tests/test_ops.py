@@ -638,6 +638,34 @@ class TestFusedBlockGeneralN:
         b = np.asarray(m_f.apply({"params": params}, x, deterministic=True))
         assert np.abs(a - b).max() < 2e-2 * max(np.abs(a).max(), 1.0)
 
+    def test_batched_mode_forward_and_grads(self, monkeypatch):
+        """The batched per-image mode (VST_MIDN_BATCHED=1, one 3-D dot per
+        head) must match the unrolled per-image default in both the forward
+        output and the parameter grads."""
+        x = self._data(b=8)
+        m_f = self._build(True, jnp.float32)
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+
+        def loss_and_grads():
+            def loss(p):
+                out = m_f.apply({"params": p}, x, deterministic=True)
+                return jnp.mean(out.astype(jnp.float32) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            return np.asarray(val), grads
+
+        v_img, g_img = loss_and_grads()
+        monkeypatch.setenv("VST_MIDN_BATCHED", "1")
+        v_b, g_b = loss_and_grads()
+        assert np.abs(v_img - v_b) < 1e-4 * max(abs(float(v_img)), 1.0)
+        for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_img),
+            jax.tree_util.tree_leaves_with_path(g_b),
+        ):
+            assert pa == pb
+            sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
+            assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 2e-2 * sa
+
     def test_grads_at_least_as_accurate_as_xla_bf16(self):
         """Against an f32 ground truth, the fused kernel's grads must be no
         noisier than the XLA bf16 path's own grads (cancellation-heavy bias

@@ -337,17 +337,26 @@ def _attn_fwd_general(q, k, v, n, heads, scale):
     return jnp.concatenate(outs, axis=1), ps
 
 
-def _midn_per_image() -> bool:
-    """Mid-N attention strategy: per-image dots (default) vs masked [T, T].
+def _midn_mode() -> str:
+    """Mid-N attention strategy: ``img`` (per-image dots, the measured
+    default), ``imgb`` (per-image via one batched 3-D dot per head —
+    ``VST_MIDN_BATCHED=1``, an A/B candidate that trades k unrolled tiny
+    dots for one batched op whose Mosaic lowering quality decides the
+    winner), or ``masked`` ([T, T] scores, ``VST_MIDN_MASKED=1``).
 
     Per-image removes the factor-k masked-FLOP overhead of
     :func:`_attn_fwd_general` AND shrinks the softmax/probability arrays
     from [T, T] to k x [N, N], which is what lets the mid-N row budget grow
-    to 512 without blowing VMEM. ``VST_MIDN_MASKED=1`` restores the masked
-    path for A/B measurement (results/bench_midn.py)."""
+    to 512 without blowing VMEM. Knobs exist for results/bench_midn.py."""
     from vision_spectra_tpu.core.runtime import env_flag
 
-    return not env_flag("VST_MIDN_MASKED")
+    if env_flag("VST_MIDN_MASKED"):
+        return "masked"
+    return "imgb" if env_flag("VST_MIDN_BATCHED") else "img"
+
+
+def _midn_per_image() -> bool:
+    return _midn_mode() != "masked"
 
 
 def _attn_fwd_per_image(q, k, v, n, heads, scale):
@@ -429,6 +438,81 @@ def _attn_bwd_per_image(dao, q, k, v, ps, n, heads, scale):
             jnp.concatenate(dvs, axis=1))
 
 
+def _attn_fwd_per_image_batched(q, k, v, n, heads, scale):
+    """Per-image attention via ONE batched 3-D dot per head ("imgb" mode).
+
+    Same math as :func:`_attn_fwd_per_image`, but the k images in the tile
+    ride a leading batch dimension of a single ``dot_general`` instead of k
+    unrolled tiny dots; ``ps`` is a [heads] list of [k, N, N] probability
+    arrays consumed by :func:`_attn_bwd_per_image_batched`. Whether this
+    wins is a Mosaic lowering question — measured, not assumed
+    (results/bench_midn.py).
+    """
+    t, e = q.shape
+    kimg = t // n
+    d = e // heads
+    outs, ps = [], []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qb = q[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
+        kb = k[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
+        vb = v[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
+        s = jax.lax.dot_general(
+            qb, kb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [k, n, n]
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=2, keepdims=True)
+        ps.append(p)
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [k, n, d]
+        outs.append(o.reshape(t, d))
+    return jnp.concatenate(outs, axis=1), ps
+
+
+def _attn_bwd_per_image_batched(dao, q, k, v, ps, n, heads, scale):
+    """Backward of :func:`_attn_fwd_per_image_batched` given its probs."""
+    t, e = q.shape
+    kimg = t // n
+    d = e // heads
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qb = q[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
+        kb = k[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
+        vb = v[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
+        dob = dao[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
+        p = ps[h]  # [k, n, n] f32
+        pb = p.astype(jnp.bfloat16)
+        dv = jax.lax.dot_general(  # P^T @ dO per image
+            pb, dob, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [k, n, d]
+        dp = jax.lax.dot_general(  # dO @ V^T per image
+            dob, vb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [k, n, n]
+        ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
+        dsb = ds.astype(jnp.bfloat16)
+        dq = jax.lax.dot_general(
+            dsb, kb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [k, n, d]
+        dk = jax.lax.dot_general(  # dS^T @ Q per image
+            dsb, qb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dqs.append(dq.reshape(t, d))
+        dks.append(dk.reshape(t, d))
+        dvs.append(dv.reshape(t, d))
+    return (jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+            jnp.concatenate(dvs, axis=1))
+
+
 def _attn_bwd_general(dao, q, k, v, ps, heads, scale):
     """Backward of :func:`_attn_fwd_general` given its per-head probs."""
     t, e = q.shape
@@ -489,8 +573,12 @@ def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_body(x, params, m1, m2, e, heads, n, per_img=False):
+def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked"):
     """Shared forward trace; returns dict of intermediates.
+
+    ``midn`` selects the mid-N (2 < N <= 128) attention formulation:
+    ``img`` / ``imgb`` / ``masked`` (see :func:`_midn_mode`); unused at
+    N == 2 (the pair path).
 
     Weight matrices in ``params`` arrive bf16 (cast ONCE per step by the
     host-side wrapper — an in-kernel f32 load + downcast burned ~440k VPU
@@ -510,7 +598,10 @@ def _fwd_body(x, params, m1, m2, e, heads, n, per_img=False):
     if n == 2:
         ao, a_s, a_c, pk, pv = _attn_fwd(q, k, v, g_mat, scale)
         ps = None
-    elif per_img:
+    elif midn == "imgb":
+        ao, ps = _attn_fwd_per_image_batched(q, k, v, n, heads, scale)
+        a_s = a_c = pk = pv = None
+    elif midn == "img":
         ao, ps = _attn_fwd_per_image(q, k, v, n, heads, scale)
         a_s = a_c = pk = pv = None
     else:
@@ -543,21 +634,21 @@ def _load_params(param_refs):
 
 
 def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype,
-                     per_img: bool):
+                     midn: str):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, o_ref = refs[N_PARAMS:]
         x = x_ref[...].astype(jnp.float32)
         params = _load_params(param_refs)
         t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads, n,
-                      per_img)
+                      midn)
         o_ref[...] = t["x_out"].astype(out_dtype)
 
     return kernel
 
 
 def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
-                     per_img: bool):
+                     midn: str):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, dy_ref = refs[N_PARAMS:N_PARAMS + 3]
@@ -576,7 +667,7 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
          ln2s, ln2b, w1, b1, w2, b2) = params
         m1 = m1_ref[...]
         m2 = m2_ref[...]
-        t = _fwd_body(x, params, m1, m2, e, heads, n, per_img)
+        t = _fwd_body(x, params, m1, m2, e, heads, n, midn)
         dy = dy_ref[...].astype(jnp.float32)
 
         # MLP branch.
@@ -601,7 +692,11 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
                 dao, t["q"], t["k"], t["v"], t["a_s"], t["a_c"], t["pk"],
                 t["pv"], t["g_mat"], t["scale"],
             )
-        elif per_img:
+        elif midn == "imgb":
+            dq, dk, dv = _attn_bwd_per_image_batched(
+                dao, t["q"], t["k"], t["v"], t["ps"], n, heads, t["scale"],
+            )
+        elif midn == "img":
             dq, dk, dv = _attn_bwd_per_image(
                 dao, t["q"], t["k"], t["v"], t["ps"], n, heads, t["scale"],
             )
@@ -642,9 +737,9 @@ def _param_shapes(e: int, f: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
-               dtype_name: str, interpret: bool, per_img: bool = False):
+               dtype_name: str, interpret: bool, midn: str = "masked"):
     out_dtype = jnp.dtype(dtype_name)
-    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype, per_img)
+    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype, midn)
     return pl.pallas_call(
         kernel,
         grid=(rows // tile,),
@@ -662,9 +757,9 @@ def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
 
 @functools.lru_cache(maxsize=None)
 def _build_bwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
-               dtype_name: str, interpret: bool, per_img: bool = False):
+               dtype_name: str, interpret: bool, midn: str = "masked"):
     x_dtype = jnp.dtype(dtype_name)
-    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype, per_img)
+    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype, midn)
     grad_shapes = _param_shapes(e, f)
     return pl.pallas_call(
         kernel,
@@ -707,7 +802,7 @@ def _run_fwd(heads, n, interpret, x, params, m1, m2):
     f = params[12].shape[1]
     tile = select_tile(rows, n)
     call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
-                      n > 2 and _midn_per_image())
+                      _midn_mode() if n > 2 else "pair")
     return call(x, *_cast_weights(params), m1, m2)
 
 
@@ -727,7 +822,7 @@ def _fused_block_bwd(heads, n, interpret, res, dy):
     f = params[12].shape[1]
     tile = select_tile(rows, n)
     call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
-                      n > 2 and _midn_per_image())
+                      _midn_mode() if n > 2 else "pair")
     out = call(x, *_cast_weights(params), m1, m2, dy.astype(x.dtype))
     dx = out[0]
     dparams = tuple(
