@@ -81,8 +81,8 @@ def sweep_vit() -> None:
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, 28, 28, 3).astype(np.float32))
     results = {}
-    for label, fused, masked, tile_rows in CONFIGS:
-        _set_env(masked, tile_rows)
+    for label, fused, masked, tile_rows, batched in CONFIGS:
+        _set_env(masked, tile_rows, batched)
         model, _ = build_vit(
             "vit_tiny_patch4_28", num_classes=9, image_size=28,
             dtype=jnp.bfloat16, use_fused_blocks=fused if fused else False,
@@ -116,8 +116,8 @@ def sweep_mim() -> None:
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, 28, 28, 3).astype(np.float32))
     results = {}
-    for label, fused, masked, tile_rows in CONFIGS:
-        _set_env(masked, tile_rows)
+    for label, fused, masked, tile_rows, batched in CONFIGS:
+        _set_env(masked, tile_rows, batched)
         enc, _ = build_vit(
             "vit_tiny_patch4_28", num_classes=9, image_size=28,
             dtype=jnp.bfloat16, use_fused_blocks=fused if fused else False,

@@ -340,9 +340,11 @@ def _attn_fwd_general(q, k, v, n, heads, scale):
 def _midn_mode() -> str:
     """Mid-N attention strategy: ``img`` (per-image dots, the measured
     default), ``imgb`` (per-image via one batched 3-D dot per head —
-    ``VST_MIDN_BATCHED=1``, an A/B candidate that trades k unrolled tiny
-    dots for one batched op whose Mosaic lowering quality decides the
-    winner), or ``masked`` ([T, T] scores, ``VST_MIDN_MASKED=1``).
+    ``VST_MIDN_BATCHED=1``; MEASURED LOSER, kept as the record of the
+    experiment: at N=50 Mosaic lowers the batched dot + [k, n, d] reshapes
+    to 22.2k img/s vs the unroll's 36.3k, and several other configs fail
+    to compile outright — round-3 sweep, results/bench_midn.py), or
+    ``masked`` ([T, T] scores, ``VST_MIDN_MASKED=1``).
 
     Per-image removes the factor-k masked-FLOP overhead of
     :func:`_attn_fwd_general` AND shrinks the softmax/probability arrays
