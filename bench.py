@@ -244,6 +244,9 @@ def main() -> None:
         file=sys.stderr,
     )
     per_chip_streaming = max(per_chip_streaming, pf_per_chip)
+    # run_prefetched donated the old `state` into train_step; rebind so the
+    # spectral-snapshot diagnostic below reads live params, not deleted ones.
+    state = state_pf[0]
 
     # Fused-epoch path: dataset resident in HBM, lax.scan over all batches —
     # one device dispatch per epoch (training/fused.py).
