@@ -98,6 +98,25 @@ class TestSmokeTraining:
         assert r.exit_code == 0, r.output
         assert "accuracy" in r.output
 
+    def test_eval_applies_device_platform(self, runner, tmp_path, monkeypatch):
+        """`eval --device cpu` must apply the platform in-process, like the
+        training commands do via _build_config (single-tenant TPU rule)."""
+        import vision_spectra_tpu.core.runtime as runtime
+        import vision_spectra_tpu.utils.checkpointing as ck
+
+        calls: list = []
+        monkeypatch.setattr(runtime, "apply_platform", lambda d=None: calls.append(d))
+
+        def _stop(path):
+            raise RuntimeError("stop-after-platform")
+
+        monkeypatch.setattr(ck, "load_checkpoint", _stop)
+        ckpt = tmp_path / "c.msgpack"
+        ckpt.write_bytes(b"\x00")
+        r = runner.invoke(main, ["eval", str(ckpt), "--device", "cpu"])
+        assert calls == ["cpu"]
+        assert r.exit_code != 0  # aborted at the sentinel, after the platform call
+
     def test_download_data_missing(self, runner, tmp_path):
         r = runner.invoke(
             main,

@@ -358,6 +358,12 @@ def train_mtl(dataset, epochs, batch_size, lr, seed, device, name, config_path,
 def evaluate(checkpoint, dataset, split, batch_size, device, data_dir):
     """Evaluate a checkpoint: accuracy + macro F1 (reference: cli.py:447-531)."""
     from vision_spectra_tpu.config import DatasetName, ExperimentConfig, set_seed
+    from vision_spectra_tpu.core.runtime import apply_platform
+
+    # Same in-process platform handling as the training commands
+    # (_build_config): without this, `eval --device cpu` silently attached
+    # the TPU on single-tenant attachments.
+    apply_platform(device if device in ("auto", "cpu", "tpu") else "auto")
     from vision_spectra_tpu.data import Loader, get_dataset
     from vision_spectra_tpu.models import build_vit
     from vision_spectra_tpu.training import evaluate_model
