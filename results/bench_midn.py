@@ -38,6 +38,7 @@ CONFIGS = [  # (label, fused, masked_env, tile_rows_env, batched_env)
     ("masked T<=256 (r2 shipped)", True, "1", "256", None),
     ("per-image T<=256", True, None, "256", None),
     ("per-image T<=512", True, None, "512", None),
+    ("per-image T<=1024", True, None, "1024", None),
     ("masked T<=512", True, "1", "512", None),
     ("batched T<=256", True, None, "256", "1"),
     ("batched T<=512", True, None, "512", "1"),

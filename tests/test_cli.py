@@ -114,7 +114,9 @@ class TestSmokeTraining:
         ckpt = tmp_path / "c.msgpack"
         ckpt.write_bytes(b"\x00")
         r = runner.invoke(main, ["eval", str(ckpt), "--device", "cpu"])
-        assert calls == ["cpu"]
+        # The group callback calls apply_platform() (env-var honoring, arg
+        # None) before the command body applies the explicit --device choice.
+        assert calls[-1] == "cpu", calls
         assert r.exit_code != 0  # aborted at the sentinel, after the platform call
 
     def test_download_data_missing(self, runner, tmp_path):
