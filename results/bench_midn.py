@@ -8,11 +8,13 @@ configurations, for the two shipped mid-N geometries:
   where per-image unrolls many tiny [13, 13] dots and the masked [T, T]
   path may win — measure, don't guess).
 
-Configs: masked [T, T] attention at the round-2 256-row budget, per-image
-attention at 256 / 512 row budgets (VERDICT r2 next-round #3), and the XLA
-(non-fused) baseline.
+Configs: masked [T, T] attention at 256 / 512 row budgets, per-image
+attention at 256 / 512 / 1024 row budgets (VERDICT r2 next-round #3),
+batched 3-D-dot per-image attention at 256 / 512, and the XLA (non-fused)
+baseline.
 
-Env knobs read per call (ops/block_fused): VST_MIDN_MASKED, VST_MIDN_TILE_ROWS.
+Env knobs read per call (ops/block_fused): VST_MIDN_MASKED,
+VST_MIDN_TILE_ROWS, VST_MIDN_BATCHED.
 Prints ms/step and img/s; the winner becomes the default in block_fused.
 
 Usage (TPU): PYTHONPATH=/root/repo:$PYTHONPATH python results/bench_midn.py [vit|mim|all]

@@ -10,29 +10,39 @@ LN1 → QKV → pair attention → proj → +residual → LN2 → MLP(GELU) →
 +residual — per row-tile entirely in VMEM. All eight weight matrices of a
 ViT-Tiny block (~0.9 MB bf16) stay resident across the row grid.
 
-Attention specialization: with exactly N=2 tokens per image, rows are laid
-out (image-major, token-minor) so each image's pair is adjacent. Attention
-becomes, per head, a 2-way softmax between a row and its partner row:
+Attention specializations (three, selected by ``select_tile``):
 
-    s_self[r]  = q[r]·k[r] / sqrt(d)
-    s_cross[r] = q[r]·k[partner(r)] / sqrt(d)
-    out[r] = softmax2(s)·(v[r], v[partner(r)])
+- **Pair attention, N == 2** (every reference scenario A–F: 28 px /
+  patch 16 — /root/reference/vision_spectra/experiments/
+  run_spectral_analysis.py:244-289): rows are laid out (image-major,
+  token-minor) so each image's pair is adjacent. Attention becomes, per
+  head, a 2-way softmax between a row and its partner row:
 
-The per-head inner products are computed as elementwise products reduced
-within 64-lane head groups by a block-diagonal ones matrix G (one small
-bf16 MXU matmul with f32 accumulation), keeping every operand in the native
-[rows, E] lane layout — no head-split reshapes or transposes. ``partner``
-is a ±1 row roll selected by row parity (pairs never straddle the even row
-tile).
+      s_self[r]  = q[r]·k[r] / sqrt(d)
+      s_cross[r] = q[r]·k[partner(r)] / sqrt(d)
+      out[r] = softmax2(s)·(v[r], v[partner(r)])
+
+  The per-head inner products are computed as elementwise products reduced
+  within 64-lane head groups by a block-diagonal ones matrix G (one small
+  bf16 MXU matmul with f32 accumulation), keeping every operand in the
+  native [rows, E] lane layout — no head-split reshapes or transposes.
+  ``partner`` is a ±1 row roll selected by row parity (pairs never straddle
+  the even row tile).
+
+- **Mid-N attention, 2 < N <= 128** (patch-4: N = 50; MIM-13 visible
+  tokens): tiles hold k whole images (k·N rows; N-dependent row budget —
+  512 rows at N >= 32, 256 below, measured in results/bench_midn.py), and
+  attention runs per image as k unrolled [N, N] softmax dots per head
+  (default, ``_midn_per_image``), or over the whole [T, T] tile with a
+  block-diagonal mask (``VST_MIDN_MASKED=1``), or as one batched 3-D dot
+  (``VST_MIDN_BATCHED=1`` — measured loser, kept for reproducibility).
+
+- **N > 128 stays on the XLA path** (models/vit.py) — above the mid-N
+  budget the masked/unrolled formulations lose to XLA's fused attention.
 
 The backward pass recomputes the forward per tile (flash-style — the only
 residual is the block input) and accumulates weight gradients across the
 sequentially-executed row grid into revisited output blocks.
-
-General-N attention stays on the XLA path (models/vit.py); this kernel is
-selected only for N == 2, which covers every reference scenario (A–F all
-run 28 px / patch 16 — /root/reference/vision_spectra/experiments/
-run_spectral_analysis.py:244-289).
 
 Numerics match the XLA block to bf16 tolerance: LN statistics and softmax
 in f32 (flax LayerNorm semantics: fast variance, eps 1e-6, f32 stats),

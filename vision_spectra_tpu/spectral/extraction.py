@@ -111,6 +111,18 @@ def _matches(name: str, layer_patterns: list[str] | None) -> bool:
     return any(pat in name for pat in layer_patterns)
 
 
+# Unfused Q/K/V leaf names: torch-style projections and flax
+# MultiHeadDotProductAttention submodule names. Maps leaf -> matrix_type.
+_UNFUSED_QKV_LEAVES = {
+    "q_proj": "q",
+    "k_proj": "k",
+    "v_proj": "v",
+    "query": "q",
+    "key": "k",
+    "value": "v",
+}
+
+
 def extract_qkv_weights(
     params: Any,
     layer_patterns: list[str] | None = None,
@@ -120,26 +132,51 @@ def extract_qkv_weights(
     The fused kernel is ``[E, 3E]`` in flax orientation; transposed to
     ``[3E, E]`` and split row-wise into three ``[E, E]`` matrices, exactly as
     the reference splits timm's fused ``qkv.weight`` (extraction.py:55-91).
+
+    Fallback for foreign/imported pytrees with **unfused** projections
+    (reference: extraction.py:94-111 handles separate ``q_proj/k_proj/
+    v_proj`` modules): kernels named ``q_proj/k_proj/v_proj`` (torch style)
+    or ``query/key/value`` (flax ``MultiHeadDotProductAttention``) are
+    extracted individually. Flax attention kernels arrive as 3-D
+    ``[E, heads, head_dim]``; they are flattened to ``[E, heads·head_dim]``
+    before the transpose so the emitted matrix is ``[out, in]`` like the
+    fused split.
     """
     weights: list[WeightInfo] = []
     for name, arr in _flatten_params(params):
-        if not name.endswith(".qkv.kernel") or arr.ndim != 2:
+        if not name.endswith(".kernel"):
             continue
         base = name[: -len(".kernel")]
-        if not _matches(base, layer_patterns):
-            continue
-        fused = arr.T  # [3E, E]
-        e = fused.shape[1]
-        if fused.shape[0] != 3 * e:
-            continue
-        idx = _extract_layer_idx(base)
-        for j, mtype in enumerate("qkv"):
+        leaf = base.split(".")[-1]
+        if leaf == "qkv" and arr.ndim == 2:
+            if not _matches(base, layer_patterns):
+                continue
+            fused = arr.T  # [3E, E]
+            e = fused.shape[1]
+            if fused.shape[0] != 3 * e:
+                continue
+            idx = _extract_layer_idx(base)
+            for j, mtype in enumerate("qkv"):
+                weights.append(
+                    WeightInfo(
+                        name=f"{base}.{mtype}",
+                        layer_idx=idx,
+                        matrix_type=mtype,
+                        weight=fused[j * e : (j + 1) * e],
+                    )
+                )
+        elif leaf in _UNFUSED_QKV_LEAVES and arr.ndim in (2, 3):
+            if not _matches(base, layer_patterns):
+                continue
+            w = arr
+            if w.ndim == 3:  # flax MHA: [E, heads, head_dim]
+                w = w.reshape(w.shape[0], -1)
             weights.append(
                 WeightInfo(
-                    name=f"{base}.{mtype}",
-                    layer_idx=idx,
-                    matrix_type=mtype,
-                    weight=fused[j * e : (j + 1) * e],
+                    name=base,
+                    layer_idx=_extract_layer_idx(base),
+                    matrix_type=_UNFUSED_QKV_LEAVES[leaf],
+                    weight=w.T,
                 )
             )
     return weights
