@@ -9,13 +9,25 @@ The benchmark runs the full production train step — uint8 host batch →
 device-side augmentation → ViT-Tiny (192d/12L, patch 16 @ img 28, the
 scenario-B flagship) forward/backward → AdamW — on PathMNIST-shaped data
 (the deterministic surrogate when the real npz is absent; pixel values do
-not affect throughput). Secondary diagnostics (spectral-snapshot latency)
-go to stderr.
+not affect throughput). Secondary diagnostics (streaming/prefetch paths,
+other regimes, patch-4, flash sweep, spectral-snapshot latency) go to
+stderr AFTER the headline JSON, so a mid-diagnostic stall can never hold
+the measurement hostage.
+
+Tunnel-outage resilience (VERDICT r3 item 1): the axon tunnel has
+documented hours-long outages where backend init wedges silently. Instead
+of a single 300 s give-up, ``main()`` supervises the actual bench in a
+child process and implements the CLAUDE.md recovery discipline: if an
+attempt dies or stalls without producing the headline JSON, wait ~10 min
+(also covering the 60 s single-tenant cooldown) and retry, up to a ~45 min
+total budget. The first headline JSON seen on the child's stdout counts as
+success even if later diagnostics stall.
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 
@@ -27,6 +39,11 @@ import numpy as np
 # within-image N x N scores, not the masked cross-image waste; recompute in
 # backward kernels is not credited).
 PEAK_TFLOPS = 197.0
+
+# Supervisor policy (seconds). Overridable via env for tests/sweeps.
+TOTAL_BUDGET_S = 2700     # ~45 min: the documented outage-recovery horizon
+ATTEMPT_TIMEOUT_S = 1800  # one attempt incl. cold compiles
+RETRY_WAIT_S = 600        # poll-every-~10-min discipline (>> 60 s cooldown)
 
 
 def vit_train_flops_per_image(
@@ -58,21 +75,21 @@ def vit_train_flops_per_image(
     return 3.0 * fwd
 
 
-def main() -> None:
+def run_bench() -> None:
+    """The actual measurement (child process)."""
     import os
     import threading
 
     # Fail FAST if the tunneled TPU is unreachable: backend init wedges
-    # indefinitely when the axon tunnel is down (observed multi-hour
-    # outages), and a hung bench is worse than a clean error. 300 s is
-    # generous for import + backend registration + one tiny roundtrip.
+    # indefinitely when the axon tunnel is down, and a hung attempt wastes
+    # supervisor budget. The supervisor retries on our exit code 2.
     backend_up = threading.Event()
 
     def _watchdog() -> None:
         if not backend_up.wait(300):
             print(
                 "bench: device backend unresponsive after 300 s (tunnel "
-                "down?) — aborting without a measurement",
+                "down?) — aborting this attempt",
                 file=sys.stderr,
             )
             os._exit(2)
@@ -137,27 +154,9 @@ def main() -> None:
     sample = jnp.zeros((1, 28, 28, 3), jnp.float32)
     params = model.init(jax.random.key(0), sample)["params"]
     tx = make_optimizer(cfg.optimizer, gradient_clip=1.0)
-    state = TrainState.create(params, tx)
     loss_fn = make_cross_entropy()
 
     import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, images_u8, labels, key, lr):
-        k_aug, k_drop = jax.random.split(key)
-        images = train_augment(images_u8, k_aug, num_channels=3, out_dtype=aug_dt)
-
-        def compute_loss(params):
-            logits = model.apply(
-                {"params": params},
-                images,
-                deterministic=False,
-                rngs={"dropout": k_drop},
-            )
-            return loss_fn(logits, labels)
-
-        loss, grads = jax.value_and_grad(compute_loss)(state.params)
-        return apply_updates(state, grads, tx, lr, None), loss
 
     # PathMNIST-shaped data pool (pixels don't affect throughput).
     rng = np.random.RandomState(0)
@@ -176,6 +175,128 @@ def main() -> None:
         # on some remote attachments; a 0-d fetch is pathologically slow, so
         # reshape to (1,) first).
         return float(np.asarray(jnp.reshape(x, (1,)))[0])
+
+    # ---- HEADLINE FIRST: fused-epoch path (the production execution mode;
+    # dataset resident in HBM, lax.scan over all batches — one device
+    # dispatch per epoch, training/fused.py). This has been the headline
+    # winner every measured round (streaming paths are dispatch-bound on the
+    # tunnel); emitting its JSON immediately after the first completed
+    # window means a later stall cannot cost the round its measurement.
+    from vision_spectra_tpu.training.fused import make_fused_epoch_fn
+
+    n_fused = 65536
+    images_dev = jnp.asarray(
+        rng.randint(0, 256, size=(n_fused, 28, 28, 3), dtype=np.uint8)
+    )
+    labels_dev = jnp.asarray(rng.randint(0, 9, size=n_fused).astype(np.int32))
+    epoch_fn = make_fused_epoch_fn(
+        model, loss_fn, tx, batch_size=batch_size, num_channels=3,
+        augment_fn=functools.partial(
+            train_augment, num_channels=3, out_dtype=aug_dt
+        ),
+    )  # aug_mode=fused (single bilinear warp; Pallas kernel on TPU)
+    state2 = TrainState.create(params, tx)
+    state2, acc = epoch_fn(state2, images_dev, labels_dev, jax.random.key(0), lr)
+    np.asarray(acc)  # compile + warm (value fetch = honest sync)
+    # 8-epoch window (~1.1 s): 3 epochs left the headline ~±7% noisy against
+    # the ~32 ms tunnel sync. ONE value fetch after the window — a per-epoch
+    # fetch would add the full tunnel round trip (~32 ms, +25%) to every
+    # epoch inside the timed region.
+    n_epochs = 8
+    # Best of two windows — transient tunnel stalls reject, real
+    # regressions slow both (see bench_fused below).
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for e in range(n_epochs):
+            state2, acc = epoch_fn(
+                state2, images_dev, labels_dev, jax.random.key(e + 1), lr
+            )
+        acc_np = np.asarray(acc)
+        dt = min(dt, time.perf_counter() - t0)
+    fused_per_sec = n_epochs * (n_fused // batch_size) * batch_size / dt
+    per_chip = fused_per_sec / max(1, n_devices)
+    flag_flops = vit_train_flops_per_image(2, 192, 12, patch=16)
+    flag_mfu = (
+        f", MFU {per_chip * flag_flops / 1e12 / PEAK_TFLOPS * 100:.1f}%"
+        if platform == "tpu"
+        else ""
+    )
+    print(
+        f"train-cls (fused epoch): {n_epochs} epochs x {n_fused} in {dt:.3f}s -> "
+        f"{per_chip:,.0f} img/s/chip (loss={acc_np[0] / acc_np[2]:.4f}{flag_mfu})",
+        file=sys.stderr,
+    )
+
+    baseline = 10_000.0
+    print(
+        json.dumps(
+            {
+                "metric": "pathmnist_train_cls_throughput",
+                "value": round(per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / baseline, 3),
+            }
+        ),
+        flush=True,
+    )
+
+    # ---- Everything below is diagnostics (stderr only). ----
+
+    # Same fused epoch under the DEFAULT augmentation recipe (aug_mode=
+    # torchvision: composed nearest warps + shuffled jitter, Pallas on TPU).
+    from vision_spectra_tpu.data.transforms import train_augment_ref
+
+    epoch_ref = make_fused_epoch_fn(
+        model, loss_fn, tx, batch_size=batch_size, num_channels=3,
+        augment_fn=functools.partial(
+            train_augment_ref, num_channels=3, out_dtype=aug_dt
+        ),
+    )
+    params3 = model.init(jax.random.key(0), sample)["params"]
+    state3 = TrainState.create(params3, tx)
+    state3, acc = epoch_ref(
+        state3, images_dev, labels_dev, jax.random.key(0), lr
+    )
+    np.asarray(acc)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for e in range(n_epochs):
+            state3, acc = epoch_ref(
+                state3, images_dev, labels_dev, jax.random.key(e + 1), lr
+            )
+        np.asarray(acc)
+        dt = min(dt, time.perf_counter() - t0)
+    ref_per_chip = n_epochs * (n_fused // batch_size) * batch_size / dt / max(
+        1, n_devices
+    )
+    print(
+        f"train-cls (fused epoch, default torchvision aug): "
+        f"{ref_per_chip:,.0f} img/s/chip",
+        file=sys.stderr,
+    )
+
+    # Streaming path (per-step host dispatch — the num_workers=0 product
+    # path); diagnostic only, the tunnel's ~1 ms dispatch bounds it.
+    state = TrainState.create(model.init(jax.random.key(0), sample)["params"], tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, images_u8, labels, key, lr):
+        k_aug, k_drop = jax.random.split(key)
+        images = train_augment(images_u8, k_aug, num_channels=3, out_dtype=aug_dt)
+
+        def compute_loss(params):
+            logits = model.apply(
+                {"params": params},
+                images,
+                deterministic=False,
+                rngs={"dropout": k_drop},
+            )
+            return loss_fn(logits, labels)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        return apply_updates(state, grads, tx, lr, None), loss
 
     # Warmup (compile + a few steps).
     for i in range(5):
@@ -243,96 +364,9 @@ def main() -> None:
         f"in {dt:.3f}s -> {pf_per_chip:,.0f} img/s/chip (loss={pf_loss:.4f})",
         file=sys.stderr,
     )
-    per_chip_streaming = max(per_chip_streaming, pf_per_chip)
     # run_prefetched donated the old `state` into train_step; rebind so the
     # spectral-snapshot diagnostic below reads live params, not deleted ones.
     state = state_pf[0]
-
-    # Fused-epoch path: dataset resident in HBM, lax.scan over all batches —
-    # one device dispatch per epoch (training/fused.py).
-    from vision_spectra_tpu.training.fused import make_fused_epoch_fn
-
-    n_fused = 65536
-    images_dev = jnp.asarray(
-        rng.randint(0, 256, size=(n_fused, 28, 28, 3), dtype=np.uint8)
-    )
-    labels_dev = jnp.asarray(rng.randint(0, 9, size=n_fused).astype(np.int32))
-    epoch_fn = make_fused_epoch_fn(
-        model, loss_fn, tx, batch_size=batch_size, num_channels=3,
-        augment_fn=functools.partial(
-            train_augment, num_channels=3, out_dtype=aug_dt
-        ),
-    )  # aug_mode=fused (single bilinear warp; Pallas kernel on TPU)
-    # Fresh params: the streaming loop donated (deleted) the originals.
-    params2 = model.init(jax.random.key(0), sample)["params"]
-    state2 = TrainState.create(params2, tx)
-    state2, acc = epoch_fn(state2, images_dev, labels_dev, jax.random.key(0), lr)
-    np.asarray(acc)  # compile + warm (value fetch = honest sync)
-    # 8-epoch window (~1.1 s): 3 epochs left the headline ~±7% noisy against
-    # the ~32 ms tunnel sync. ONE value fetch after the window — a per-epoch
-    # fetch would add the full tunnel round trip (~32 ms, +25%) to every
-    # epoch inside the timed region.
-    n_epochs = 8
-    # Best of two windows — transient tunnel stalls reject, real
-    # regressions slow both (see bench_fused below).
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for e in range(n_epochs):
-            state2, acc = epoch_fn(
-                state2, images_dev, labels_dev, jax.random.key(e + 1), lr
-            )
-        acc_np = np.asarray(acc)
-        dt = min(dt, time.perf_counter() - t0)
-    fused_per_sec = n_epochs * (n_fused // batch_size) * batch_size / dt
-    per_chip = fused_per_sec / max(1, n_devices)
-    flag_flops = vit_train_flops_per_image(2, 192, 12, patch=16)
-    flag_mfu = (
-        f", MFU {per_chip * flag_flops / 1e12 / PEAK_TFLOPS * 100:.1f}%"
-        if platform == "tpu"
-        else ""
-    )
-    print(
-        f"train-cls (fused epoch): {n_epochs} epochs x {n_fused} in {dt:.3f}s -> "
-        f"{per_chip:,.0f} img/s/chip (loss={acc_np[0] / acc_np[2]:.4f}{flag_mfu})",
-        file=sys.stderr,
-    )
-    per_chip = max(per_chip, per_chip_streaming)
-
-    # Same fused epoch under the DEFAULT augmentation recipe (aug_mode=
-    # torchvision: composed nearest warps + shuffled jitter, Pallas on TPU).
-    from vision_spectra_tpu.data.transforms import train_augment_ref
-
-    epoch_ref = make_fused_epoch_fn(
-        model, loss_fn, tx, batch_size=batch_size, num_channels=3,
-        augment_fn=functools.partial(
-            train_augment_ref, num_channels=3, out_dtype=aug_dt
-        ),
-    )
-    params3 = model.init(jax.random.key(0), sample)["params"]
-    state3 = TrainState.create(params3, tx)
-    state3, acc = epoch_ref(
-        state3, images_dev, labels_dev, jax.random.key(0), lr
-    )
-    np.asarray(acc)
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for e in range(n_epochs):
-            state3, acc = epoch_ref(
-                state3, images_dev, labels_dev, jax.random.key(e + 1), lr
-            )
-        np.asarray(acc)
-        dt = min(dt, time.perf_counter() - t0)
-    ref_per_chip = n_epochs * (n_fused // batch_size) * batch_size / dt / max(
-        1, n_devices
-    )
-    print(
-        f"train-cls (fused epoch, default torchvision aug): "
-        f"{ref_per_chip:,.0f} img/s/chip",
-        file=sys.stderr,
-    )
-    per_chip = max(per_chip, ref_per_chip)
 
     # Secondary: fused epochs for the OTHER regimes (MIM / multitask /
     # finetune) — one lax.scan program each, like classification.
@@ -509,24 +543,6 @@ def main() -> None:
     bench_fused("pretrain-mim patch4 (13 visible tokens)", mim_p4_core,
                 mim_p4_params, 2)
 
-    # Emit the primary metric BEFORE the remaining diagnostics: the flash
-    # sweep and the cold spectral snapshots below compile fresh programs,
-    # and the remote backend's server-side compile latency can stall for
-    # minutes under bad tunnel weather (results/probe_spectral_cold.py
-    # measured 464 s once) — never hold the headline hostage to that.
-    baseline = 10_000.0
-    print(
-        json.dumps(
-            {
-                "metric": "pathmnist_train_cls_throughput",
-                "value": round(per_chip, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(per_chip / baseline, 3),
-            }
-        ),
-        flush=True,
-    )
-
     # Flash attention vs XLA attention at long sequence (fwd + bwd).
     from vision_spectra_tpu.ops.attention import mha
     from vision_spectra_tpu.ops.flash_attention import flash_mha
@@ -597,5 +613,119 @@ def main() -> None:
         file=sys.stderr,
     )
 
+
+def main() -> None:
+    """Supervise run_bench() in a child process with outage-aware retries.
+
+    Success = the headline JSON line appeared on the child's stdout (it is
+    forwarded verbatim). A child that dies or stalls BEFORE the headline is
+    retried after RETRY_WAIT_S, within TOTAL_BUDGET_S; a stall AFTER the
+    headline (diagnostics) is killed but still counts as success.
+    """
+    import os
+    import threading
+
+    total_budget = float(os.environ.get("VST_BENCH_BUDGET_S", TOTAL_BUDGET_S))
+    attempt_timeout = float(
+        os.environ.get("VST_BENCH_ATTEMPT_TIMEOUT_S", ATTEMPT_TIMEOUT_S)
+    )
+    retry_wait = float(os.environ.get("VST_BENCH_RETRY_WAIT_S", RETRY_WAIT_S))
+
+    deadline = time.monotonic() + total_budget
+    attempt = 0
+    while True:
+        attempt += 1
+        print(f"bench supervisor: attempt {attempt}", file=sys.stderr)
+        child = subprocess.Popen(
+            [sys.executable, "-u", __file__, "--child"],
+            stdout=subprocess.PIPE,
+            stderr=None,  # child stderr flows straight through
+            text=True,
+        )
+        headline_seen = threading.Event()
+
+        def _forward(stream=child.stdout) -> None:
+            for line in stream:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                if '"metric"' in line:
+                    try:
+                        parsed = json.loads(line)
+                        if "value" in parsed and "unit" in parsed:
+                            headline_seen.set()
+                    except json.JSONDecodeError:
+                        pass
+
+        reader = threading.Thread(target=_forward, daemon=True)
+        reader.start()
+        try:
+            rc = child.wait(timeout=attempt_timeout)
+        except subprocess.TimeoutExpired:
+            rc = None
+            child.kill()
+            child.wait()
+        reader.join(timeout=10)
+
+        if headline_seen.is_set():
+            if rc != 0:
+                print(
+                    "bench supervisor: headline captured; child "
+                    f"{'stalled in diagnostics' if rc is None else f'exited rc={rc}'}"
+                    " afterwards — treating as success",
+                    file=sys.stderr,
+                )
+            sys.exit(0)
+
+        tag = "timed out" if rc is None else f"exited rc={rc}"
+        if time.monotonic() + retry_wait + 120 > deadline:
+            print(
+                f"bench supervisor: attempt {attempt} {tag} without a "
+                "headline and the retry budget is exhausted — giving up",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        print(
+            f"bench supervisor: attempt {attempt} {tag} without a headline "
+            f"(tunnel outage?) — retrying in {retry_wait:.0f} s "
+            f"({deadline - time.monotonic():.0f} s of budget left)",
+            file=sys.stderr,
+        )
+        time.sleep(retry_wait)
+
+
+def _fake_child(mode: str) -> None:
+    """Supervisor self-test hook (VST_BENCH_FAKE_CHILD): simulate child
+    outcomes without touching any backend. Modes: ``ok`` (headline, exit 0),
+    ``fail`` (no headline, exit 2 — a watchdog abort), ``stall_after`` (
+    headline then hang — a diagnostics wedge), ``fail_then_ok`` (fail on the
+    first attempt, headline on the second; state via a marker file)."""
+    import os
+
+    headline = json.dumps(
+        {"metric": "fake", "value": 1.0, "unit": "images/sec/chip",
+         "vs_baseline": 0.0}
+    )
+    if mode == "fail_then_ok":
+        marker = os.environ["VST_BENCH_FAKE_MARKER"]
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            sys.exit(2)
+        mode = "ok"
+    if mode == "fail":
+        sys.exit(2)
+    print(headline, flush=True)
+    if mode == "stall_after":
+        time.sleep(3600)
+    sys.exit(0)
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        import os
+
+        fake = os.environ.get("VST_BENCH_FAKE_CHILD", "")
+        if fake:
+            _fake_child(fake)
+        run_bench()
+    else:
+        main()
