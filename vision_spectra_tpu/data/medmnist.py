@@ -284,6 +284,14 @@ _SURROGATE_CACHE: dict[tuple, ArraySplit] = {}
 #    pasted into random grid cells at random gains (histology-like local
 #    patches); classes differ in their motif-usage distribution, so class
 #    evidence is also carried by integrating local occurrences.
+# 4. **Low-frequency tint** (v4, VERDICT r3 item 3) — a per-texture-class
+#    DC + linear-gradient color field. The v3 surrogate's evidence was all
+#    mid-frequency texture/motif statistics, which a 32d/1L model largely
+#    cannot estimate: scenario F landed at 50.8% vs the reference's 56.8%
+#    while B and C were within 0.5 pt. The tint is LINEARLY decodable (even
+#    a linear probe reads it), so it selectively lifts the low-capacity
+#    floor; it is keyed to the *texture* class, so the Bayes ceiling stays
+#    exactly q and B's near-ceiling accuracy barely moves.
 #
 # Calibrated on TPU (results/run_bcf.py): scenario B val accuracy lands in
 # the reference's ~70% band, sub-100% everywhere, Δα > 0 with ordering
@@ -298,6 +306,7 @@ SURROGATE_MOTIF_CONC = 0.5  # Dirichlet concentration of class motif usage
 SURROGATE_MOTIF_PROB = 0.35  # per grid cell
 SURROGATE_MOTIF_AMP = 0.38
 SURROGATE_NOISE_STD = 0.12  # additive uniform noise std in [0,1] units
+SURROGATE_TINT_AMP = 0.0075  # low-frequency class-tint amplitude (v4)
 
 _SURROGATE_BANKS: dict[tuple, tuple] = {}
 
@@ -370,7 +379,12 @@ def _surrogate_banks(name: str, image_size: int) -> tuple:
     motif_cdf = np.cumsum(motif_usage, axis=1)
     colors = class_rng.uniform(0.3, 1.0, size=(m, c)).astype(np.float32)
 
-    out = (basis, profiles, motifs, motif_cdf, colors)
+    # v4 tint: per-class DC + y/x-gradient coefficients per channel, unit
+    # RMS per class (scaled by SURROGATE_TINT_AMP at application).
+    tints = class_rng.uniform(-1.0, 1.0, size=(k, 3, c)).astype(np.float32)
+    tints /= np.sqrt((tints**2).mean(axis=(1, 2), keepdims=True)) + 1e-6
+
+    out = (basis, profiles, motifs, motif_cdf, colors, tints)
     _SURROGATE_BANKS[key] = out
     return out
 
@@ -397,7 +411,7 @@ def _surrogate_split(
     labels = rng.randint(0, k, size=n)
     gen = np.random.Generator(np.random.SFC64(seed))  # fastest bit generator here
 
-    basis, profiles, motifs, motif_cdf, colors = _surrogate_banks(
+    basis, profiles, motifs, motif_cdf, colors, tints = _surrogate_banks(
         name, image_size
     )
     cell = motifs.shape[-1]
@@ -450,6 +464,14 @@ def _surrogate_split(
             img[
                 sel, gy * cell : (gy + 1) * cell, gx * cell : (gx + 1) * cell
             ] += patch
+
+    # v4 low-frequency tint keyed to the TEXTURE class: DC + linear y/x
+    # gradients per channel. In-place broadcast adds (no [n, H, W, C] temp).
+    t = tints[tex] * SURROGATE_TINT_AMP  # [n, 3, C]
+    gy = ((np.arange(image_size, dtype=np.float32) / image_size) - 0.5) * 2.0
+    img += t[:, 0][:, None, None, :]
+    img += t[:, 1][:, None, None, :] * gy[None, :, None, None]
+    img += t[:, 2][:, None, None, :] * gy[None, None, :, None]
 
     # Per-sample brightness/contrast jitter.
     contrast = rng.uniform(0.8, 1.2, size=(n, 1)).astype(np.float32)

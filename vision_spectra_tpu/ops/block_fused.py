@@ -356,12 +356,20 @@ def _midn_mode() -> str:
     to compile outright — round-3 sweep, results/bench_midn.py), or
     ``masked`` ([T, T] scores, ``VST_MIDN_MASKED=1``).
 
+    ``VST_MIDN_ATTNOFF=1`` replaces attention with identity (ao = v, zero
+    q/k grads) — a MEASUREMENT-ONLY ablation used by
+    results/bench_p4_breakdown.py to attribute the kernel's time between
+    attention and the rest of the block; numerically meaningless for
+    training.
+
     Per-image removes the factor-k masked-FLOP overhead of
     :func:`_attn_fwd_general` AND shrinks the softmax/probability arrays
     from [T, T] to k x [N, N], which is what lets the mid-N row budget grow
     to 512 without blowing VMEM. Knobs exist for results/bench_midn.py."""
     from vision_spectra_tpu.core.runtime import env_flag
 
+    if env_flag("VST_MIDN_ATTNOFF"):
+        return "off"
     if env_flag("VST_MIDN_MASKED"):
         return "masked"
     return "imgb" if env_flag("VST_MIDN_BATCHED") else "img"
@@ -610,6 +618,10 @@ def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked"):
     if n == 2:
         ao, a_s, a_c, pk, pv = _attn_fwd(q, k, v, g_mat, scale)
         ps = None
+    elif midn == "off":  # measurement-only ablation (see _midn_mode)
+        ao = v
+        ps = None
+        a_s = a_c = pk = pv = None
     elif midn == "imgb":
         ao, ps = _attn_fwd_per_image_batched(q, k, v, n, heads, scale)
         a_s = a_c = pk = pv = None
@@ -704,6 +716,11 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
                 dao, t["q"], t["k"], t["v"], t["a_s"], t["a_c"], t["pk"],
                 t["pv"], t["g_mat"], t["scale"],
             )
+        elif midn == "off":  # measurement-only ablation (see _midn_mode)
+            # Pass dao through to all three so every surrounding matmul
+            # stays live with data-dependent operands (zeros could be
+            # constant-folded, over-ablating the measurement).
+            dq = dk = dv = dao
         elif midn == "imgb":
             dq, dk, dv = _attn_bwd_per_image_batched(
                 dao, t["q"], t["k"], t["v"], t["ps"], n, heads, t["scale"],
