@@ -79,7 +79,8 @@ def fused_stack_fn(midn_env: dict[str, str]):
     """Jitted 12-block fused-kernel stack fwd+bwd under the given env."""
     from vision_spectra_tpu.ops.block_fused import fused_vit_block
 
-    for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS", "VST_MIDN_BATCHED"):
+    for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS", "VST_MIDN_BATCHED",
+              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP"):
         os.environ.pop(k, None)
     os.environ.update(midn_env)
 
@@ -255,6 +256,9 @@ def main() -> None:
     for tag, env in [
         ("per-image 512 (shipped)", {}),
         ("per-image 256", {"VST_MIDN_TILE_ROWS": "256"}),
+        ("per-image 512 group2", {"VST_MIDN_GROUP": "2"}),
+        ("per-image 512 group4", {"VST_MIDN_GROUP": "4"}),
+        ("per-image 512 group8", {"VST_MIDN_GROUP": "8"}),
         ("masked 512", {"VST_MIDN_MASKED": "1"}),
         # Attention replaced by identity (measurement-only): the difference
         # vs shipped attributes the kernel's time to attention itself.
@@ -268,7 +272,7 @@ def main() -> None:
 
         ms_blocks[tag] = timed(f"12 fused blocks fwd+bwd [{tag}]", it)
     for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS", "VST_MIDN_BATCHED",
-              "VST_MIDN_ATTNOFF"):
+              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP"):
         os.environ.pop(k, None)
 
     fwd_fn = fused_stack_fwd_fn()

@@ -666,6 +666,34 @@ class TestFusedBlockGeneralN:
             sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
             assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 2e-2 * sa
 
+    def test_grouped_mode_forward_and_grads(self, monkeypatch):
+        """Grouped per-image attention (VST_MIDN_GROUP=g: g adjacent images
+        per block-masked dot) must match the ungrouped default in forward
+        output and parameter grads."""
+        x = self._data(b=8)
+        m_f = self._build(True, jnp.float32)
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+
+        def loss_and_grads():
+            def loss(p):
+                out = m_f.apply({"params": p}, x, deterministic=True)
+                return jnp.mean(out.astype(jnp.float32) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            return np.asarray(val), grads
+
+        v_img, g_img = loss_and_grads()
+        monkeypatch.setenv("VST_MIDN_GROUP", "2")
+        v_g, g_g = loss_and_grads()
+        assert np.abs(v_img - v_g) < 1e-4 * max(abs(float(v_img)), 1.0)
+        for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_img),
+            jax.tree_util.tree_leaves_with_path(g_g),
+        ):
+            assert pa == pb
+            sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
+            assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 2e-2 * sa
+
     def test_grads_at_least_as_accurate_as_xla_bf16(self):
         """Against an f32 ground truth, the fused kernel's grads must be no
         noisier than the XLA bf16 path's own grads (cancellation-heavy bias

@@ -376,32 +376,52 @@ def _midn_mode() -> str:
 
 
 def _midn_per_image() -> bool:
-    return _midn_mode() != "masked"
+    return _midn_mode() not in ("masked", "off")
 
 
-def _attn_fwd_per_image(q, k, v, n, heads, scale):
+def _midn_group() -> int:
+    """Images per attention dot in per-image mode (``VST_MIDN_GROUP``,
+    default 1). Group g > 1 batches g adjacent images into one
+    block-masked [g·N, g·N] dot per head: g× wasted score FLOPs in
+    exchange for g× fewer, larger, better-aligned MXU ops — the sweet
+    spot is measured, not assumed (results/bench_p4_breakdown.py)."""
+    import os
+
+    v = os.environ.get("VST_MIDN_GROUP", "")
+    return max(1, int(v)) if v else 1
+
+
+def _attn_fwd_per_image(q, k, v, n, heads, scale, group=1):
     """Per-image attention for 2 < N <= 128: k·heads small MXU dots.
 
     Same math as :func:`_attn_fwd_general` without the masked cross-image
-    FLOPs; ``ps`` is a [heads][k] nest of [N, N] probability matrices
-    consumed by :func:`_attn_bwd_per_image`.
+    FLOPs; ``ps`` is a [heads][k/group] nest of [group·N, group·N]
+    probability matrices consumed by :func:`_attn_bwd_per_image`.
+    ``group`` > 1 batches that many adjacent images into one block-masked
+    dot (see :func:`_midn_group`).
     """
     t, e = q.shape
     kimg = t // n
     d = e // heads
+    if kimg % group:
+        group = 1
+    gn = group * n
+    neg = _block_mask(gn, n) if group > 1 else None
     outs = []
     ps = []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
         oimg, pimg = [], []
-        for i in range(kimg):
-            rs = slice(i * n, (i + 1) * n)
+        for i in range(kimg // group):
+            rs = slice(i * gn, (i + 1) * gn)
             s = jax.lax.dot_general(
                 qh[rs].astype(jnp.bfloat16), kh[rs].astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
+            if neg is not None:
+                s = s + neg
             p = _softmax_rows(s)
             pimg.append(p)
             oimg.append(jax.lax.dot_general(
@@ -414,18 +434,21 @@ def _attn_fwd_per_image(q, k, v, n, heads, scale):
     return jnp.concatenate(outs, axis=1), ps
 
 
-def _attn_bwd_per_image(dao, q, k, v, ps, n, heads, scale):
+def _attn_bwd_per_image(dao, q, k, v, ps, n, heads, scale, group=1):
     """Backward of :func:`_attn_fwd_per_image` given its per-head/img probs."""
     t, e = q.shape
     kimg = t // n
     d = e // heads
+    if kimg % group:
+        group = 1
+    gn = group * n
     dqs, dks, dvs = [], [], []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], dao[:, sl]
         dqi, dki, dvi = [], [], []
-        for i in range(kimg):
-            rs = slice(i * n, (i + 1) * n)
+        for i in range(kimg // group):
+            rs = slice(i * gn, (i + 1) * gn)
             p = ps[h][i]
             pb = p.astype(jnp.bfloat16)
             dv = jax.lax.dot_general(
@@ -625,8 +648,10 @@ def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked"):
     elif midn == "imgb":
         ao, ps = _attn_fwd_per_image_batched(q, k, v, n, heads, scale)
         a_s = a_c = pk = pv = None
-    elif midn == "img":
-        ao, ps = _attn_fwd_per_image(q, k, v, n, heads, scale)
+    elif midn.startswith("img"):  # "img" or "img{group}"
+        ao, ps = _attn_fwd_per_image(
+            q, k, v, n, heads, scale, group=int(midn[3:] or 1)
+        )
         a_s = a_c = pk = pv = None
     else:
         ao, ps = _attn_fwd_general(q, k, v, n, heads, scale)
@@ -725,9 +750,10 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
             dq, dk, dv = _attn_bwd_per_image_batched(
                 dao, t["q"], t["k"], t["v"], t["ps"], n, heads, t["scale"],
             )
-        elif midn == "img":
+        elif midn.startswith("img"):  # "img" or "img{group}"
             dq, dk, dv = _attn_bwd_per_image(
                 dao, t["q"], t["k"], t["v"], t["ps"], n, heads, t["scale"],
+                group=int(midn[3:] or 1),
             )
         else:
             dq, dk, dv = _attn_bwd_general(
@@ -826,12 +852,26 @@ def _cast_weights(params):
     )
 
 
+def _midn_mode_tag(n: int) -> str:
+    """Mode string for the kernel builders (part of the lru cache key):
+    ``pair`` at N == 2; otherwise the mid-N mode, with a per-image group
+    size > 1 folded in as ``img{g}``."""
+    if n == 2:
+        return "pair"
+    mode = _midn_mode()
+    if mode == "img":
+        g = _midn_group()
+        if g > 1:
+            return f"img{g}"
+    return mode
+
+
 def _run_fwd(heads, n, interpret, x, params, m1, m2):
     rows, e = x.shape
     f = params[12].shape[1]
     tile = select_tile(rows, n)
     call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
-                      _midn_mode() if n > 2 else "pair")
+                      _midn_mode_tag(n))
     return call(x, *_cast_weights(params), m1, m2)
 
 
@@ -851,7 +891,7 @@ def _fused_block_bwd(heads, n, interpret, res, dy):
     f = params[12].shape[1]
     tile = select_tile(rows, n)
     call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
-                      _midn_mode() if n > 2 else "pair")
+                      _midn_mode_tag(n))
     out = call(x, *_cast_weights(params), m1, m2, dy.astype(x.dtype))
     dx = out[0]
     dparams = tuple(
