@@ -80,7 +80,7 @@ def fused_stack_fn(midn_env: dict[str, str]):
     from vision_spectra_tpu.ops.block_fused import fused_vit_block
 
     for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS", "VST_MIDN_BATCHED",
-              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP"):
+              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP", "VST_P4_HYBRID"):
         os.environ.pop(k, None)
     os.environ.update(midn_env)
 
@@ -263,6 +263,9 @@ def main() -> None:
         # Attention replaced by identity (measurement-only): the difference
         # vs shipped attributes the kernel's time to attention itself.
         ("attention ablated", {"VST_MIDN_ATTNOFF": "1"}),
+        # Split-stage hybrid: Pallas LN1+QKV, XLA head-batched attention,
+        # Pallas proj+LN2+MLP (ops/block_hybrid.py).
+        ("hybrid (XLA attention)", {"VST_P4_HYBRID": "1"}),
     ]:
         fn = fused_stack_fn(env)
 
@@ -272,7 +275,7 @@ def main() -> None:
 
         ms_blocks[tag] = timed(f"12 fused blocks fwd+bwd [{tag}]", it)
     for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS", "VST_MIDN_BATCHED",
-              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP"):
+              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP", "VST_P4_HYBRID"):
         os.environ.pop(k, None)
 
     fwd_fn = fused_stack_fwd_fn()

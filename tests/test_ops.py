@@ -694,6 +694,34 @@ class TestFusedBlockGeneralN:
             sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
             assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 2e-2 * sa
 
+    def test_hybrid_mode_forward_and_grads(self, monkeypatch):
+        """The split-stage hybrid (VST_P4_HYBRID=1: Pallas LN1+QKV, XLA
+        attention, Pallas proj+LN2+MLP) must match the monolithic kernel in
+        forward output and parameter grads to bf16-class tolerance."""
+        x = self._data(b=8)
+        m_f = self._build(True, jnp.float32)
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+
+        def loss_and_grads():
+            def loss(p):
+                out = m_f.apply({"params": p}, x, deterministic=True)
+                return jnp.mean(out.astype(jnp.float32) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            return np.asarray(val), grads
+
+        v_mono, g_mono = loss_and_grads()
+        monkeypatch.setenv("VST_P4_HYBRID", "1")
+        v_h, g_h = loss_and_grads()
+        assert np.abs(v_mono - v_h) < 1e-3 * max(abs(float(v_mono)), 1.0)
+        for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_mono),
+            jax.tree_util.tree_leaves_with_path(g_h),
+        ):
+            assert pa == pb
+            sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
+            assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 3e-2 * sa
+
     def test_grads_at_least_as_accurate_as_xla_bf16(self):
         """Against an f32 ground truth, the fused kernel's grads must be no
         noisier than the XLA bf16 path's own grads (cancellation-heavy bias

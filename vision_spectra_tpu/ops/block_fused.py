@@ -932,5 +932,20 @@ def fused_vit_block(
 
     Returns [rows, E] activations in ``x.dtype``. Differentiable wrt ``x``
     and ``params`` (masks receive zero cotangents).
+
+    ``VST_P4_HYBRID=1`` (mid-N only) reroutes through the split-stage
+    hybrid (ops/block_hybrid.py): Pallas LN1+QKV, head-batched XLA
+    attention, Pallas proj+LN2+MLP — an env-gated experiment measured by
+    results/bench_p4_breakdown.py.
     """
+    if n_tokens > 2:
+        from vision_spectra_tpu.core.runtime import env_flag
+
+        if env_flag("VST_P4_HYBRID"):
+            from vision_spectra_tpu.ops.block_hybrid import hybrid_vit_block
+
+            return hybrid_vit_block(
+                x, params, m1, m2, num_heads=num_heads,
+                n_tokens=n_tokens, interpret=interpret,
+            )
     return _fused_block(num_heads, n_tokens, interpret, x, params, m1, m2)
