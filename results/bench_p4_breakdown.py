@@ -50,19 +50,28 @@ def sync(x) -> float:
 
 
 def timed(label: str, fn, *args, n_it: int = 5) -> float:
-    """ms/iter, best of two windows, honest value-fetch sync."""
-    out = fn(*args)
-    sync(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(n_it):
-            out = fn(*args)
+    """ms/iter, best of two windows, honest value-fetch sync.
+
+    Returns NaN (and keeps going) if the config fails to compile/run —
+    one pathological config must not cost the session its other numbers.
+    """
+    try:
+        out = fn(*args)
         sync(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-        best = min(best, (time.perf_counter() - t0) / n_it)
-    ms = best * 1e3
-    print(f"  {label:<42s} {ms:9.2f} ms", flush=True)
-    return ms
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                out = fn(*args)
+            sync(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+            best = min(best, (time.perf_counter() - t0) / n_it)
+        ms = best * 1e3
+        print(f"  {label:<42s} {ms:9.2f} ms", flush=True)
+        return ms
+    except Exception as exc:  # noqa: BLE001 — report and move on
+        print(f"  {label:<42s}    FAILED ({type(exc).__name__}: "
+              f"{str(exc).splitlines()[0][:120]})", flush=True)
+        return float("nan")
 
 
 def block_params(key, scale=0.02):
@@ -259,6 +268,8 @@ def main() -> None:
         ("per-image 512 group2", {"VST_MIDN_GROUP": "2"}),
         ("per-image 512 group4", {"VST_MIDN_GROUP": "4"}),
         ("per-image 512 group8", {"VST_MIDN_GROUP": "8"}),
+        ("per-image 1024 group2", {"VST_MIDN_TILE_ROWS": "1024",
+                                   "VST_MIDN_GROUP": "2"}),
         ("masked 512", {"VST_MIDN_MASKED": "1"}),
         # Attention replaced by identity (measurement-only): the difference
         # vs shipped attributes the kernel's time to attention itself.
@@ -290,7 +301,11 @@ def main() -> None:
         def loss(x3, plist):
             h = x3.astype(jnp.float32)
             for p in plist:
-                h = xla_block(h, p)
+                # Per-block remat: without it, holding every block's f32
+                # [8192, 3, 50, 50] probs for backward needs 18 GB and
+                # OOMs the 16 GB chip — remat is what a real XLA training
+                # setup at this batch would have to do anyway.
+                h = jax.checkpoint(xla_block)(h, p)
             return jnp.sum(h**2) * 1e-6
 
         return jax.value_and_grad(loss, argnums=(0, 1))(x3, plist)
@@ -345,12 +360,50 @@ def main() -> None:
     print(f"  full step: {img_s:,.0f} img/s  "
           f"MFU {img_s * flops / 1e12 / PEAK_TFLOPS * 100:.1f}%")
 
-    print("\n[3] flash/XLA crossover at product N (fwd+bwd, total tokens "
-          "fixed 409,600; H=3 d=64)", flush=True)
+    # Mid-N grouping at the MIM geometry (N=13 visible tokens): is group2
+    # also the right default below the 32-token budget switch?
+    print("\n[2b] N=13 (MIM) block stack, group sweep", flush=True)
+    n13 = 13
+    rows13 = BATCH * n13
+    x13 = jnp.asarray(rng.randn(rows13, E), dtype)
+
+    from vision_spectra_tpu.ops.block_fused import fused_vit_block
+
+    for tag, env in [("group1 (shipped)", {}),
+                     ("group2", {"VST_MIDN_GROUP": "2"}),
+                     ("group4", {"VST_MIDN_GROUP": "4"})]:
+        for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS",
+                  "VST_MIDN_BATCHED", "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP",
+                  "VST_P4_HYBRID"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        ones13 = jnp.ones((rows13, 1), jnp.float32)
+
+        def loss13(x, params_list):
+            h = x
+            for p in params_list:
+                h = fused_vit_block(h, p, ones13, ones13, num_heads=HEADS,
+                                    n_tokens=n13)
+            return jnp.sum(h.astype(jnp.float32) ** 2) * 1e-6
+
+        g13 = jax.jit(jax.value_and_grad(loss13, argnums=(0, 1)))
+
+        def it13(g13=g13):
+            loss, _ = g13(x13, plist)
+            return loss
+
+        timed(f"12 fused blocks N=13 fwd+bwd [{tag}]", it13)
+    for k in ("VST_MIDN_GROUP",):
+        os.environ.pop(k, None)
+
+    print("\n[3] flash/XLA crossover at product N (fwd+bwd, H=3 d=64)",
+          flush=True)
     from vision_spectra_tpu.ops.flash_attention import flash_mha
 
     for n_seq in (50, 197, 256, 512, 1024):
-        b = ROWS // n_seq
+        # Cap total tokens so the XLA side's f32 score tensors fit HBM at
+        # long N (B·H·N² bounded); flash-vs-xla compares at the SAME shape.
+        b = (ROWS if n_seq <= 256 else ROWS // 4) // n_seq
         qkv = [
             jax.random.normal(jax.random.key(30 + i), (b, HEADS, n_seq, d),
                               dtype)

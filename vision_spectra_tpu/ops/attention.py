@@ -7,8 +7,11 @@ Two execution paths:
   handful of MXU ops and nothing faster exists.
 - **Pallas flash path** (``use_flash=True``): blockwise streaming-softmax
   kernel (ops/flash_attention.py) that never materializes the [N, N] score
-  matrix, with a custom-VJP Pallas backward. Profitable from N = 1024
-  (1.2× XLA fwd+bwd on v5e) and scales: 2.0× at N = 4096.
+  matrix, with a custom-VJP Pallas backward. Profitable from N = 512
+  (measured crossover sweep at product shapes, results/RESULTS.md
+  "Flash/XLA crossover": XLA wins 2.3× at N = 197/256, flash wins 1.35×
+  at N = 512, 1.55× at N = 1024 [H=3, d=64], and scales to 2.0× at
+  N = 4096 [H=12]).
 
 The reference computes attention inside timm / nn.MultiheadAttention
 (reference: vision_spectra/models/vit.py:160-168, models/mim.py:153).
@@ -18,6 +21,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+# Measured flash/XLA fwd+bwd crossover on v5e (results/RESULTS.md
+# "Flash/XLA crossover", round 4): XLA 2.3x faster at N=197/256, flash
+# 1.35x faster at N=512 and 1.55x at N=1024. The dispatcher flips here.
+FLASH_MIN_SEQ = 512
 
 
 def mha(
@@ -41,10 +49,12 @@ def mha(
 
     # Flash path covers training too (custom VJP with Pallas backward
     # kernels); attention dropout is the only feature it lacks, so fall back
-    # to the XLA path when dropout is actually active. Threshold from TPU v5e
-    # measurements: flash (blocks 256/512) wins fwd+bwd from N=1024 (1.2x)
-    # and scales to 2x at N=4096; below that XLA's fused attention is faster.
-    if use_flash and q.shape[-2] >= 1024 and (deterministic or dropout_rate == 0.0):
+    # to the XLA path when dropout is actually active. Threshold from the
+    # TPU v5e crossover sweep at product sequence lengths
+    # (results/bench_p4_breakdown.py [3]; table in results/RESULTS.md):
+    # fwd+bwd, XLA wins 2.3x at N=197/256, flash wins from N=512 (1.35x)
+    # through N=1024 (1.55x) and scales to 2x at N=4096.
+    if use_flash and q.shape[-2] >= FLASH_MIN_SEQ and (deterministic or dropout_rate == 0.0):
         from vision_spectra_tpu.ops.flash_attention import flash_mha
 
         return flash_mha(q, k, v, scale=scale)

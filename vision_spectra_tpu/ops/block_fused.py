@@ -32,10 +32,15 @@ Attention specializations (three, selected by ``select_tile``):
 - **Mid-N attention, 2 < N <= 128** (patch-4: N = 50; MIM-13 visible
   tokens): tiles hold k whole images (k·N rows; N-dependent row budget —
   512 rows at N >= 32, 256 below, measured in results/bench_midn.py), and
-  attention runs per image as k unrolled [N, N] softmax dots per head
-  (default, ``_midn_per_image``), or over the whole [T, T] tile with a
-  block-diagonal mask (``VST_MIDN_MASKED=1``), or as one batched 3-D dot
-  (``VST_MIDN_BATCHED=1`` — measured loser, kept for reproducibility).
+  attention runs per image-group as unrolled block-masked [g·N, g·N]
+  softmax dots per head (default g = 2 at N >= 32, 4 below —
+  ``_midn_group``, measured in results/bench_p4_breakdown.py; g is the
+  alignment/waste trade). Alternatives kept env-selectable for A/B:
+  ungrouped ``VST_MIDN_GROUP=1``, whole-tile masked [T, T] scores
+  (``VST_MIDN_MASKED=1``), one batched 3-D dot (``VST_MIDN_BATCHED=1`` —
+  measured loser), and the split-stage hybrid with XLA attention
+  (``VST_P4_HYBRID=1`` — measured loser, 3.8x slower: the HBM round trips
+  and padded f32 score tensors swamp the MXU win).
 
 - **N > 128 stays on the XLA path** (models/vit.py) — above the mid-N
   budget the masked/unrolled formulations lose to XLA's fused attention.
@@ -379,16 +384,25 @@ def _midn_per_image() -> bool:
     return _midn_mode() not in ("masked", "off")
 
 
-def _midn_group() -> int:
-    """Images per attention dot in per-image mode (``VST_MIDN_GROUP``,
-    default 1). Group g > 1 batches g adjacent images into one
+def _midn_group(n_tokens: int) -> int:
+    """Images per attention dot in per-image mode (``VST_MIDN_GROUP``
+    overrides). Group g > 1 batches g adjacent images into one
     block-masked [g·N, g·N] dot per head: g× wasted score FLOPs in
-    exchange for g× fewer, larger, better-aligned MXU ops — the sweet
-    spot is measured, not assumed (results/bench_p4_breakdown.py)."""
+    exchange for g× fewer, larger, better-aligned MXU ops.
+
+    Defaults are measured, not assumed (results/bench_p4_breakdown.py,
+    v5e, batch 8192, 12-block stack fwd+bwd): at N=50 group2 wins
+    (206.4 ms vs 223.0 ungrouped; group4 224.4, group8 253.3 — waste
+    overtakes alignment), at N=13 group4 wins narrowly (62.4 ms vs 63.6
+    group2 vs 66.0 ungrouped — tinier dots leave more fixed overhead to
+    amortize). Falls back to ungrouped when the tile's image count is not
+    divisible by the group (``_attn_fwd_per_image``)."""
     import os
 
     v = os.environ.get("VST_MIDN_GROUP", "")
-    return max(1, int(v)) if v else 1
+    if v:
+        return max(1, int(v))
+    return 2 if n_tokens >= 32 else 4
 
 
 def _attn_fwd_per_image(q, k, v, n, heads, scale, group=1):
@@ -860,7 +874,7 @@ def _midn_mode_tag(n: int) -> str:
         return "pair"
     mode = _midn_mode()
     if mode == "img":
-        g = _midn_group()
+        g = _midn_group(n)
         if g > 1:
             return f"img{g}"
     return mode
