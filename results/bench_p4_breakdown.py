@@ -89,7 +89,8 @@ def fused_stack_fn(midn_env: dict[str, str]):
     from vision_spectra_tpu.ops.block_fused import fused_vit_block
 
     for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS", "VST_MIDN_BATCHED",
-              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP", "VST_P4_HYBRID"):
+              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP", "VST_P4_HYBRID",
+              "VST_MIDN_SAVEP"):
         os.environ.pop(k, None)
     os.environ.update(midn_env)
 
@@ -266,6 +267,11 @@ def main() -> None:
         ("per-image 512 (shipped)", {}),
         ("per-image 256", {"VST_MIDN_TILE_ROWS": "256"}),
         ("per-image 512 group2", {"VST_MIDN_GROUP": "2"}),
+        ("per-image 512 group2 savep-f32", {"VST_MIDN_GROUP": "2",
+                                            "VST_MIDN_SAVEP": "1"}),
+        ("per-image 512 group2 savep-bf16", {"VST_MIDN_GROUP": "2",
+                                             "VST_MIDN_SAVEP": "2"}),
+        ("per-image 512 savep-f32 (ungrouped)", {"VST_MIDN_SAVEP": "1"}),
         ("per-image 512 group4", {"VST_MIDN_GROUP": "4"}),
         ("per-image 512 group8", {"VST_MIDN_GROUP": "8"}),
         ("per-image 1024 group2", {"VST_MIDN_TILE_ROWS": "1024",
@@ -286,7 +292,8 @@ def main() -> None:
 
         ms_blocks[tag] = timed(f"12 fused blocks fwd+bwd [{tag}]", it)
     for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS", "VST_MIDN_BATCHED",
-              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP", "VST_P4_HYBRID"):
+              "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP", "VST_P4_HYBRID",
+              "VST_MIDN_SAVEP"):
         os.environ.pop(k, None)
 
     fwd_fn = fused_stack_fwd_fn()
@@ -371,10 +378,12 @@ def main() -> None:
 
     for tag, env in [("group1 (shipped)", {}),
                      ("group2", {"VST_MIDN_GROUP": "2"}),
-                     ("group4", {"VST_MIDN_GROUP": "4"})]:
+                     ("group4", {"VST_MIDN_GROUP": "4"}),
+                     ("group4 savep-f32", {"VST_MIDN_GROUP": "4",
+                                           "VST_MIDN_SAVEP": "1"})]:
         for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS",
                   "VST_MIDN_BATCHED", "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP",
-                  "VST_P4_HYBRID"):
+                  "VST_P4_HYBRID", "VST_MIDN_SAVEP"):
             os.environ.pop(k, None)
         os.environ.update(env)
         ones13 = jnp.ones((rows13, 1), jnp.float32)

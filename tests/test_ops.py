@@ -694,6 +694,71 @@ class TestFusedBlockGeneralN:
             sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
             assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 2e-2 * sa
 
+    @pytest.mark.parametrize("mode", ["1", "2"])
+    def test_savep_spill_forward_and_grads(self, monkeypatch, mode):
+        """The probs-spill backward (VST_MIDN_SAVEP: forward writes the
+        per-image attention probs + output to HBM, backward skips the
+        attention-forward recompute) must match the recompute default in
+        forward output and parameter grads. Mode 1 stores f32 probs
+        (numerically identical math — _mm casts operands to bf16 at use
+        anyway), mode 2 stores bf16 probs (a bf16 rounding of the dS
+        term's probs)."""
+        x = self._data(b=8)
+        m_f = self._build(True, jnp.float32)
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+
+        def loss_and_grads():
+            def loss(p):
+                out = m_f.apply({"params": p}, x, deterministic=True)
+                return jnp.mean(out.astype(jnp.float32) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            return np.asarray(val), grads
+
+        v_rc, g_rc = loss_and_grads()
+        monkeypatch.setenv("VST_MIDN_SAVEP", mode)
+        v_sp, g_sp = loss_and_grads()
+        tol = 1e-5 if mode == "1" else 1e-3
+        assert np.abs(v_rc - v_sp) < tol * max(abs(float(v_rc)), 1.0)
+        gtol = 1e-4 if mode == "1" else 2e-2
+        for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_rc),
+            jax.tree_util.tree_leaves_with_path(g_sp),
+        ):
+            assert pa == pb
+            sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
+            assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < gtol * sa
+
+    def test_savep_spill_with_grouping(self, monkeypatch):
+        """Spill composes with the shipped image-grouped dots (the probs
+        block layout must follow the group geometry, including the
+        fallback to ungrouped when the group does not divide the tile's
+        image count)."""
+        x = self._data(b=8)
+        m_f = self._build(True, jnp.float32)
+        params = m_f.init(jax.random.key(0), x[:2])["params"]
+
+        def loss_and_grads():
+            def loss(p):
+                out = m_f.apply({"params": p}, x, deterministic=True)
+                return jnp.mean(out.astype(jnp.float32) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            return np.asarray(val), grads
+
+        monkeypatch.setenv("VST_MIDN_GROUP", "2")
+        v_rc, g_rc = loss_and_grads()
+        monkeypatch.setenv("VST_MIDN_SAVEP", "1")
+        v_sp, g_sp = loss_and_grads()
+        assert np.abs(v_rc - v_sp) < 1e-5 * max(abs(float(v_rc)), 1.0)
+        for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_rc),
+            jax.tree_util.tree_leaves_with_path(g_sp),
+        ):
+            assert pa == pb
+            sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
+            assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 1e-4 * sa
+
     def test_hybrid_mode_forward_and_grads(self, monkeypatch):
         """The split-stage hybrid (VST_P4_HYBRID=1: Pallas LN1+QKV, XLA
         attention, Pallas proj+LN2+MLP) must match the monolithic kernel in

@@ -47,7 +47,12 @@ Attention specializations (three, selected by ``select_tile``):
 
 The backward pass recomputes the forward per tile (flash-style — the only
 residual is the block input) and accumulates weight gradients across the
-sequentially-executed row grid into revisited output blocks.
+sequentially-executed row grid into revisited output blocks. In per-image
+mid-N mode, ``VST_MIDN_SAVEP`` (see :func:`_midn_savep`) instead spills the
+attention probs + output to HBM in the forward and skips the attention
+part of the backward's recompute — trading the lowest-MXU-efficiency slice
+of the recompute against HBM round-trip traffic (measured in
+results/bench_p4_breakdown.py).
 
 Numerics match the XLA block to bf16 tolerance: LN statistics and softmax
 in f32 (flax LayerNorm semantics: fast variance, eps 1e-6, f32 stats),
@@ -405,6 +410,46 @@ def _midn_group(n_tokens: int) -> int:
     return 2 if n_tokens >= 32 else 4
 
 
+def _midn_savep() -> str:
+    """Spill mode for per-image attention across fwd/bwd (``VST_MIDN_SAVEP``):
+
+    ``""`` (off — the backward recomputes the attention forward per tile,
+    flash style), ``"f32"`` (``=1``: the forward kernel writes the per-image
+    probability matrices to HBM in f32 plus the attention output in bf16,
+    and the backward consumes them instead of recomputing scores + softmax
+    + P·V), ``"bf16"`` (``=2``: probs stored bf16 — half the spill traffic
+    for a bf16 rounding of the probs used by the backward's dS math; the
+    f32 mode is numerically identical to recompute because ``_mm`` casts
+    its operands to bf16 at use anyway).
+
+    Only meaningful in per-image mid-N mode; ignored elsewhere. The spill
+    trades ~2x the attention-forward compute (once in fwd, once recomputed
+    in bwd) against HBM round-trip traffic for the probs — measured in
+    results/bench_p4_breakdown.py, not assumed.
+    """
+    import os
+
+    v = os.environ.get("VST_MIDN_SAVEP", "")
+    if not v or v == "0":
+        return ""
+    return "bf16" if v == "2" else "f32"
+
+
+def _savep_geometry(tile: int, n: int, heads: int, group: int):
+    """(effective_group, n_groups, gn, ps_rows) for the spilled-probs block
+    layout at one tile: the probs are stored as a [heads * n_groups * gn,
+    gn] stack of block-masked per-group probability matrices, in the same
+    (head-major, group-minor) order :func:`_attn_fwd_per_image` emits them.
+    Mirrors that function's fallback to group=1 when the tile's image count
+    is not divisible by the group."""
+    kimg = tile // n
+    if kimg % group:
+        group = 1
+    gn = group * n
+    n_groups = kimg // group
+    return group, n_groups, gn, heads * n_groups * gn
+
+
 def _attn_fwd_per_image(q, k, v, n, heads, scale, group=1):
     """Per-image attention for 2 < N <= 128: k·heads small MXU dots.
 
@@ -630,12 +675,15 @@ def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked"):
+def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked", saved=None):
     """Shared forward trace; returns dict of intermediates.
 
     ``midn`` selects the mid-N (2 < N <= 128) attention formulation:
     ``img`` / ``imgb`` / ``masked`` (see :func:`_midn_mode`); unused at
-    N == 2 (the pair path).
+    N == 2 (the pair path). ``saved`` (per-image modes only) is an
+    optional ``(ps_nest, ao)`` pair spilled by the forward kernel
+    (:func:`_midn_savep`): when present the attention forward is skipped
+    entirely — q/k/v are still produced for the attention backward.
 
     Weight matrices in ``params`` arrive bf16 (cast ONCE per step by the
     host-side wrapper — an in-kernel f32 load + downcast burned ~440k VPU
@@ -663,9 +711,12 @@ def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked"):
         ao, ps = _attn_fwd_per_image_batched(q, k, v, n, heads, scale)
         a_s = a_c = pk = pv = None
     elif midn.startswith("img"):  # "img" or "img{group}"
-        ao, ps = _attn_fwd_per_image(
-            q, k, v, n, heads, scale, group=int(midn[3:] or 1)
-        )
+        if saved is not None:
+            ps, ao = saved
+        else:
+            ao, ps = _attn_fwd_per_image(
+                q, k, v, n, heads, scale, group=int(midn[3:] or 1)
+            )
         a_s = a_c = pk = pv = None
     else:
         ao, ps = _attn_fwd_general(q, k, v, n, heads, scale)
@@ -697,25 +748,43 @@ def _load_params(param_refs):
 
 
 def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype,
-                     midn: str):
+                     midn: str, savep: str = ""):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
-        m1_ref, m2_ref, o_ref = refs[N_PARAMS:]
+        if savep:
+            m1_ref, m2_ref, o_ref, ps_ref, ao_ref = refs[N_PARAMS:]
+        else:
+            m1_ref, m2_ref, o_ref = refs[N_PARAMS:]
         x = x_ref[...].astype(jnp.float32)
         params = _load_params(param_refs)
         t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads, n,
                       midn)
         o_ref[...] = t["x_out"].astype(out_dtype)
+        if savep:
+            # Spill the per-image probs (head-major, group-minor — the
+            # order _attn_fwd_per_image emits) and the attention output
+            # for the backward kernel (see _midn_savep).
+            tile = x_ref.shape[0]
+            group = int(midn[3:] or 1) if midn.startswith("img") else 1
+            _, n_groups, gn, _ = _savep_geometry(tile, n, heads, group)
+            for h in range(heads):
+                for i in range(n_groups):
+                    j = h * n_groups + i
+                    ps_ref[j * gn:(j + 1) * gn, :] = (
+                        t["ps"][h][i].astype(ps_ref.dtype)
+                    )
+            ao_ref[...] = t["ao"].astype(jnp.bfloat16)
 
     return kernel
 
 
 def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
-                     midn: str):
+                     midn: str, savep: str = ""):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, dy_ref = refs[N_PARAMS:N_PARAMS + 3]
-        out_refs = refs[N_PARAMS + 3:]
+        n_extra = 2 if savep else 0
+        out_refs = refs[N_PARAMS + 3 + n_extra:]
         dx_ref = out_refs[0]
         grad_refs = out_refs[1:]
 
@@ -730,7 +799,23 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
          ln2s, ln2b, w1, b1, w2, b2) = params
         m1 = m1_ref[...]
         m2 = m2_ref[...]
-        t = _fwd_body(x, params, m1, m2, e, heads, n, midn)
+        saved = None
+        if savep:
+            ps_ref, ao_ref = refs[N_PARAMS + 3:N_PARAMS + 5]
+            tile = x_ref.shape[0]
+            group = int(midn[3:] or 1) if midn.startswith("img") else 1
+            _, n_groups, gn, _ = _savep_geometry(tile, n, heads, group)
+            ps_nest = []
+            for h in range(heads):
+                pimg = []
+                for i in range(n_groups):
+                    j = h * n_groups + i
+                    pimg.append(
+                        ps_ref[j * gn:(j + 1) * gn, :].astype(jnp.float32)
+                    )
+                ps_nest.append(pimg)
+            saved = (ps_nest, ao_ref[...].astype(jnp.float32))
+        t = _fwd_body(x, params, m1, m2, e, heads, n, midn, saved=saved)
         dy = dy_ref[...].astype(jnp.float32)
 
         # MLP branch.
@@ -806,9 +891,29 @@ def _param_shapes(e: int, f: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
-               dtype_name: str, interpret: bool, midn: str = "masked"):
+               dtype_name: str, interpret: bool, midn: str = "masked",
+               savep: str = ""):
     out_dtype = jnp.dtype(dtype_name)
-    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype, midn)
+    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype, midn, savep)
+    out_specs = pl.BlockSpec((tile, e), lambda i: (i, 0))
+    out_shape = jax.ShapeDtypeStruct((rows, e), out_dtype)
+    if savep:
+        group = int(midn[3:] or 1) if midn.startswith("img") else 1
+        _, _, gn, ps_rows = _savep_geometry(tile, n, heads, group)
+        grid = rows // tile
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((ps_rows, gn), lambda i: (i, 0)),
+            pl.BlockSpec((tile, e), lambda i: (i, 0)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct(
+                (grid * ps_rows, gn),
+                jnp.bfloat16 if savep == "bf16" else jnp.float32,
+            ),
+            jax.ShapeDtypeStruct((rows, e), jnp.bfloat16),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(rows // tile,),
@@ -818,18 +923,27 @@ def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
             pl.BlockSpec((tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((tile, 1), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((tile, e), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, e), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _build_bwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
-               dtype_name: str, interpret: bool, midn: str = "masked"):
+               dtype_name: str, interpret: bool, midn: str = "masked",
+               savep: str = ""):
     x_dtype = jnp.dtype(dtype_name)
-    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype, midn)
+    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype, midn, savep)
     grad_shapes = _param_shapes(e, f)
+    savep_specs = []
+    if savep:
+        group = int(midn[3:] or 1) if midn.startswith("img") else 1
+        _, _, gn, ps_rows = _savep_geometry(tile, n, heads, group)
+        savep_specs = [
+            pl.BlockSpec((ps_rows, gn), lambda i: (i, 0)),
+            pl.BlockSpec((tile, e), lambda i: (i, 0)),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(rows // tile,),
@@ -839,6 +953,7 @@ def _build_bwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
             pl.BlockSpec((tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((tile, e), lambda i: (i, 0)),
+            *savep_specs,
         ],
         out_specs=[
             pl.BlockSpec((tile, e), lambda i: (i, 0)),
@@ -880,6 +995,15 @@ def _midn_mode_tag(n: int) -> str:
     return mode
 
 
+def _savep_for_tag(tag: str) -> str:
+    """The spill mode for this kernel tag — per-image unrolled modes only
+    (``img`` / ``img{g}``; the pair, masked, batched and ablation paths
+    keep their recompute backward)."""
+    if tag == "img" or (tag.startswith("img") and tag[3:].isdigit()):
+        return _midn_savep()
+    return ""
+
+
 def _run_fwd(heads, n, interpret, x, params, m1, m2):
     rows, e = x.shape
     f = params[12].shape[1]
@@ -895,18 +1019,32 @@ def _fused_block(heads, n, interpret, x, params, m1, m2):
 
 
 def _fused_block_fwd(heads, n, interpret, x, params, m1, m2):
+    tag = _midn_mode_tag(n)
+    savep = _savep_for_tag(tag)
+    if savep:
+        rows, e = x.shape
+        f = params[12].shape[1]
+        tile = select_tile(rows, n)
+        call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name,
+                          interpret, tag, savep)
+        out, ps_buf, ao_buf = call(x, *_cast_weights(params), m1, m2)
+        return out, (x, params, m1, m2, ps_buf, ao_buf)
     return (_run_fwd(heads, n, interpret, x, params, m1, m2),
-            (x, params, m1, m2))
+            (x, params, m1, m2, None, None))
 
 
 def _fused_block_bwd(heads, n, interpret, res, dy):
-    x, params, m1, m2 = res
+    x, params, m1, m2, ps_buf, ao_buf = res
     rows, e = x.shape
     f = params[12].shape[1]
     tile = select_tile(rows, n)
+    tag = _midn_mode_tag(n)
+    savep = _savep_for_tag(tag) if ps_buf is not None else ""
     call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
-                      _midn_mode_tag(n))
-    out = call(x, *_cast_weights(params), m1, m2, dy.astype(x.dtype))
+                      tag, savep)
+    extra = (ps_buf, ao_buf) if savep else ()
+    out = call(x, *_cast_weights(params), m1, m2, dy.astype(x.dtype),
+               *extra)
     dx = out[0]
     dparams = tuple(
         g.astype(p.dtype).reshape(p.shape)
