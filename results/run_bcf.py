@@ -36,10 +36,36 @@ REF_DELTAS = {"B": "+0.127", "C": "+0.315", "F": "+0.451"}
 REF_ACCS = {"B": "70.9%", "C": "65.3%", "F": "56.8%"}
 
 
+def purge_superseded_surrogate_runs() -> None:
+    """Soft-delete prior SURROGATE B/C/F runs before a refresh.
+
+    Surrogate generations are not commensurable — the generator's
+    calibration constants (tint amplitude, noise std, …) change between
+    refreshes, and the figures/table extractor averages over all finished
+    runs of a scenario, so stale generations would blend into the refreshed
+    means (this exact bug produced a 50/50 v3+v4 mix in round 4). Real-data
+    runs are never purged."""
+    from vision_spectra_tpu import tracking
+
+    tracking.set_tracking_uri(OUT)
+    client = tracking.MlflowClient(OUT)
+    n = 0
+    for s in ("B", "C", "F"):
+        exp = client.get_experiment_by_name(f"spectral_scenario_{s}")
+        if exp is None:
+            continue
+        for run in client.search_runs([exp.experiment_id]):
+            if run.tags.get("data") == "surrogate":
+                client.delete_run(run.info.run_id)
+                n += 1
+    print(f"purged {n} superseded surrogate run(s)", flush=True)
+
+
 def run_scenarios(num_seeds=None, epochs=None, data_dir=None):
     """Full-epoch 3-seed B/C/F by default; the real-data rehearsal drill
     (results/run_realdata_drill.py) shrinks seeds/epochs and points
     ``data_dir`` at a staged npz — same code path either way."""
+    purge_superseded_surrogate_runs()
     t0 = time.time()
     kwargs = {}
     if epochs is not None:

@@ -94,6 +94,35 @@ class TestFluent:
         )
         assert len(df2) == 2
 
+    def test_delete_run_is_soft_and_filtered(self):
+        """delete_run sets lifecycle_stage: deleted (mlflow FileStore
+        semantics): search/list stop returning the run, the directory stays
+        on disk, and include_deleted=True still sees it — the mechanism
+        run_bcf.py uses to purge superseded surrogate generations before a
+        refresh (a stale generation blending into refreshed means is the
+        round-4 bug this guards against)."""
+        exp = tracking.set_experiment("purge")
+        with tracking.start_run(run_name="old") as info_old:
+            tracking.log_metric("final/val_accuracy", 50.0, step=0)
+        with tracking.start_run(run_name="new") as info_new:
+            tracking.log_metric("final/val_accuracy", 57.0, step=0)
+        client = tracking.MlflowClient()
+        client.delete_run(info_old.run_id)
+
+        runs = client.search_runs([exp.experiment_id])
+        assert [r.info.run_id for r in runs] == [info_new.run_id]
+        df = tracking.search_runs(experiment_names=["purge"])
+        assert len(df) == 1
+
+        store = tracking.FileStore(tracking.get_tracking_uri())
+        all_runs = store.list_runs(exp.experiment_id, include_deleted=True)
+        assert len(all_runs) == 2
+        deleted = {r.info.run_id: r.info.lifecycle_stage for r in all_runs}
+        assert deleted[info_old.run_id] == "deleted"
+        assert deleted[info_new.run_id] == "active"
+        with pytest.raises(KeyError):
+            client.delete_run("no-such-run")
+
     def test_experiment_ids_increment(self):
         e0 = tracking.set_experiment("a")
         e1 = tracking.set_experiment("b")

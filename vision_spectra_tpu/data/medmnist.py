@@ -291,7 +291,12 @@ _SURROGATE_CACHE: dict[tuple, ArraySplit] = {}
 #    while B and C were within 0.5 pt. The tint is LINEARLY decodable (even
 #    a linear probe reads it), so it selectively lifts the low-capacity
 #    floor; it is keyed to the *texture* class, so the Bayes ceiling stays
-#    exactly q and B's near-ceiling accuracy barely moves.
+#    exactly q and B's near-ceiling accuracy barely moves. Amplitude
+#    calibrated on TPU (round 4, results/run_f_calibration.py, scenario F
+#    seed 42): 0.005 -> 52.3%, 0.0075 -> 57.8%, 0.01 -> 61.5%, 0.015 ->
+#    64.1%, 0.02 -> 69.0%; the shipped 0.0075 lands within 1 pt of the
+#    reference's 56.8% with delta-alpha +0.41 (ordering B < C < F intact).
+#    The amp -> linear-probe curve is in results/probe_tint_sweep.py.
 #
 # Calibrated on TPU (results/run_bcf.py): scenario B val accuracy lands in
 # the reference's ~70% band, sub-100% everywhere, Δα > 0 with ordering

@@ -264,3 +264,8 @@ class MlflowClient:
         for eid in experiment_ids:
             out.extend(self._store.list_runs(eid))
         return out
+
+    def delete_run(self, run_id: str) -> None:
+        """Soft-delete a run (``lifecycle_stage: deleted``); search/list
+        stop returning it, matching mlflow's ACTIVE_ONLY default."""
+        self._store.delete_run(run_id)

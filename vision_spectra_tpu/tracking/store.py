@@ -77,6 +77,7 @@ class RunInfo:
     start_time: int
     end_time: int | None = None
     artifact_uri: str = ""
+    lifecycle_stage: str = "active"  # active | deleted (mlflow semantics)
 
     @property
     def run_uuid(self) -> str:  # mlflow compat
@@ -207,7 +208,7 @@ class FileStore:
             "end_time": info.end_time,
             "entry_point_name": "",
             "experiment_id": info.experiment_id,
-            "lifecycle_stage": "active",
+            "lifecycle_stage": info.lifecycle_stage,
             "run_id": info.run_id,
             "run_name": info.run_name,
             "run_uuid": info.run_id,
@@ -246,6 +247,7 @@ class FileStore:
             start_time=meta.get("start_time", 0),
             end_time=meta.get("end_time"),
             artifact_uri=meta.get("artifact_uri", str(run_dir / "artifacts")),
+            lifecycle_stage=meta.get("lifecycle_stage", "active"),
         )
         run = Run(info=info)
         params_dir = run_dir / "params"
@@ -268,14 +270,34 @@ class FileStore:
                         run.metrics[key] = hist[-1].value
         return run
 
-    def list_runs(self, experiment_id: str) -> list[Run]:
+    def list_runs(
+        self, experiment_id: str, include_deleted: bool = False
+    ) -> list[Run]:
+        """Runs of one experiment; soft-deleted runs are excluded unless
+        asked for (mlflow's ACTIVE_ONLY search default)."""
         exp_dir = self.root / experiment_id
         runs = []
         if exp_dir.exists():
             for run_dir in sorted(exp_dir.iterdir()):
                 if run_dir.is_dir() and (run_dir / "meta.yaml").exists():
-                    runs.append(self._load_run(run_dir))
+                    run = self._load_run(run_dir)
+                    if include_deleted or run.info.lifecycle_stage != "deleted":
+                        runs.append(run)
         return runs
+
+    def delete_run(self, run_id: str) -> None:
+        """Soft-delete: set ``lifecycle_stage: deleted`` in the run's
+        meta.yaml (what mlflow's FileStore does — the run directory and its
+        metrics/artifacts stay on disk, and real mlflow clients reading the
+        store see the same ACTIVE_ONLY filtering)."""
+        for exp_dir in self._experiment_dirs():
+            run_dir = exp_dir / run_id
+            if (run_dir / "meta.yaml").exists():
+                info = self._load_run(run_dir).info
+                info.lifecycle_stage = "deleted"
+                self._write_run_meta(info)
+                return
+        raise KeyError(f"run {run_id!r} not found")
 
     # -- data ----------------------------------------------------------------
 
