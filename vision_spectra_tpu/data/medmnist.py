@@ -298,6 +298,15 @@ _SURROGATE_CACHE: dict[tuple, ArraySplit] = {}
 #    reference's 56.8% with delta-alpha +0.41 (ordering B < C < F intact).
 #    The amp -> linear-probe curve is in results/probe_tint_sweep.py.
 #
+#    The tint also lifted B/C by ~3 pt (a linear cue is readable at every
+#    capacity), so NOISE_STD was co-calibrated as the decoupling knob: iid
+#    pixel noise degrades the mid-frequency texture/motif cues B/C rely on
+#    while the low-frequency tint averages it out. TPU sweep at amp 0.0075
+#    (seed 42, B/C/F accuracy): noise 0.12 -> 73.6/68.0/57.0 (B/C +2.7),
+#    0.15 -> 71.9/66.6/55.5 (ALL within 1.3 pt of the reference's
+#    70.9/65.3/56.8), 0.18 -> 71.1/64.6/52.4 (F overshoots). Shipped:
+#    TINT_AMP 0.0075, NOISE_STD 0.15.
+#
 # Calibrated on TPU (results/run_bcf.py): scenario B val accuracy lands in
 # the reference's ~70% band, sub-100% everywhere, Δα > 0 with ordering
 # B < C < F (see results/RESULTS.md BCF table).
@@ -310,7 +319,7 @@ SURROGATE_MOTIF_POOL = 12  # shared oriented-grating motifs
 SURROGATE_MOTIF_CONC = 0.5  # Dirichlet concentration of class motif usage
 SURROGATE_MOTIF_PROB = 0.35  # per grid cell
 SURROGATE_MOTIF_AMP = 0.38
-SURROGATE_NOISE_STD = 0.12  # additive uniform noise std in [0,1] units
+SURROGATE_NOISE_STD = 0.15  # additive uniform noise std in [0,1] units
 SURROGATE_TINT_AMP = 0.0075  # low-frequency class-tint amplitude (v4)
 
 _SURROGATE_BANKS: dict[tuple, tuple] = {}
