@@ -267,11 +267,10 @@ def main() -> None:
         ("per-image 512 (shipped)", {}),
         ("per-image 256", {"VST_MIDN_TILE_ROWS": "256"}),
         ("per-image 512 group2", {"VST_MIDN_GROUP": "2"}),
-        ("per-image 512 group2 savep-f32", {"VST_MIDN_GROUP": "2",
-                                            "VST_MIDN_SAVEP": "1"}),
+        ("per-image 512 group2 recompute", {"VST_MIDN_GROUP": "2",
+                                            "VST_MIDN_SAVEP": "0"}),
         ("per-image 512 group2 savep-bf16", {"VST_MIDN_GROUP": "2",
                                              "VST_MIDN_SAVEP": "2"}),
-        ("per-image 512 savep-f32 (ungrouped)", {"VST_MIDN_SAVEP": "1"}),
         ("per-image 512 group4", {"VST_MIDN_GROUP": "4"}),
         ("per-image 512 group8", {"VST_MIDN_GROUP": "8"}),
         ("per-image 1024 group2", {"VST_MIDN_TILE_ROWS": "1024",
@@ -379,8 +378,8 @@ def main() -> None:
     for tag, env in [("group1 (shipped)", {}),
                      ("group2", {"VST_MIDN_GROUP": "2"}),
                      ("group4", {"VST_MIDN_GROUP": "4"}),
-                     ("group4 savep-f32", {"VST_MIDN_GROUP": "4",
-                                           "VST_MIDN_SAVEP": "1"})]:
+                     ("group4 recompute", {"VST_MIDN_GROUP": "4",
+                                           "VST_MIDN_SAVEP": "0"})]:
         for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS",
                   "VST_MIDN_BATCHED", "VST_MIDN_ATTNOFF", "VST_MIDN_GROUP",
                   "VST_P4_HYBRID", "VST_MIDN_SAVEP"):

@@ -55,11 +55,10 @@ def main() -> None:
 
     print(f"\n[N={N}] 12-block stack fwd+bwd (group2 default)", flush=True)
     for tag, env in [
-        ("recompute (shipped)", {}),
-        ("savep f32", {"VST_MIDN_SAVEP": "1"}),
+        ("savep f32 (shipped)", {}),
+        ("recompute", {"VST_MIDN_SAVEP": "0"}),
         ("savep bf16", {"VST_MIDN_SAVEP": "2"}),
-        ("savep f32 ungrouped", {"VST_MIDN_SAVEP": "1",
-                                 "VST_MIDN_GROUP": "1"}),
+        ("savep f32 ungrouped", {"VST_MIDN_GROUP": "1"}),
     ]:
         fn = fused_stack_fn(env)
 
@@ -75,8 +74,8 @@ def main() -> None:
     ones13 = jnp.ones((rows13, 1), jnp.float32)
     print(f"\n[N={n13}] 12-block stack fwd+bwd (group4 default)", flush=True)
     for tag, env in [
-        ("recompute (shipped)", {}),
-        ("savep f32", {"VST_MIDN_SAVEP": "1"}),
+        ("savep f32 (shipped)", {}),
+        ("recompute", {"VST_MIDN_SAVEP": "0"}),
         ("savep bf16", {"VST_MIDN_SAVEP": "2"}),
     ]:
         for k in ("VST_MIDN_MASKED", "VST_MIDN_TILE_ROWS", "VST_MIDN_BATCHED",

@@ -696,13 +696,13 @@ class TestFusedBlockGeneralN:
 
     @pytest.mark.parametrize("mode", ["1", "2"])
     def test_savep_spill_forward_and_grads(self, monkeypatch, mode):
-        """The probs-spill backward (VST_MIDN_SAVEP: forward writes the
-        per-image attention probs + output to HBM, backward skips the
-        attention-forward recompute) must match the recompute default in
-        forward output and parameter grads. Mode 1 stores f32 probs
-        (numerically identical math — _mm casts operands to bf16 at use
-        anyway), mode 2 stores bf16 probs (a bf16 rounding of the dS
-        term's probs)."""
+        """The probs-spill backward (VST_MIDN_SAVEP, the shipped default:
+        forward writes the per-image attention probs + output to HBM,
+        backward skips the attention-forward recompute) must match the
+        full-recompute backward (=0) in forward output and parameter
+        grads. Mode 1 stores f32 probs (numerically identical math — _mm
+        casts operands to bf16 at use anyway), mode 2 stores bf16 probs
+        (a bf16 rounding of the dS term's probs)."""
         x = self._data(b=8)
         m_f = self._build(True, jnp.float32)
         params = m_f.init(jax.random.key(0), x[:2])["params"]
@@ -715,6 +715,7 @@ class TestFusedBlockGeneralN:
             val, grads = jax.value_and_grad(loss)(params)
             return np.asarray(val), grads
 
+        monkeypatch.setenv("VST_MIDN_SAVEP", "0")
         v_rc, g_rc = loss_and_grads()
         monkeypatch.setenv("VST_MIDN_SAVEP", mode)
         v_sp, g_sp = loss_and_grads()
@@ -747,6 +748,7 @@ class TestFusedBlockGeneralN:
             return np.asarray(val), grads
 
         monkeypatch.setenv("VST_MIDN_GROUP", "2")
+        monkeypatch.setenv("VST_MIDN_SAVEP", "0")
         v_rc, g_rc = loss_and_grads()
         monkeypatch.setenv("VST_MIDN_SAVEP", "1")
         v_sp, g_sp = loss_and_grads()

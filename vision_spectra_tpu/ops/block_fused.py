@@ -48,11 +48,12 @@ Attention specializations (three, selected by ``select_tile``):
 The backward pass recomputes the forward per tile (flash-style — the only
 residual is the block input) and accumulates weight gradients across the
 sequentially-executed row grid into revisited output blocks. In per-image
-mid-N mode, ``VST_MIDN_SAVEP`` (see :func:`_midn_savep`) instead spills the
-attention probs + output to HBM in the forward and skips the attention
-part of the backward's recompute — trading the lowest-MXU-efficiency slice
-of the recompute against HBM round-trip traffic (measured in
-results/bench_p4_breakdown.py).
+mid-N mode the forward instead spills the attention probs (f32) + output
+(bf16) to HBM and the backward skips the attention part of the recompute —
+the lowest-MXU-efficiency slice of the re-execution traded against HBM
+round-trip traffic, measured a ~10% stack win at both shipped geometries
+(results/bench_savep.py; ``VST_MIDN_SAVEP=0`` restores the full-recompute
+backward, see :func:`_midn_savep`).
 
 Numerics match the XLA block to bf16 tolerance: LN statistics and softmax
 in f32 (flax LayerNorm semantics: fast variance, eps 1e-6, f32 stats),
@@ -413,23 +414,27 @@ def _midn_group(n_tokens: int) -> int:
 def _midn_savep() -> str:
     """Spill mode for per-image attention across fwd/bwd (``VST_MIDN_SAVEP``):
 
-    ``""`` (off — the backward recomputes the attention forward per tile,
-    flash style), ``"f32"`` (``=1``: the forward kernel writes the per-image
+    ``"f32"`` (``=1``, the DEFAULT: the forward kernel writes the per-image
     probability matrices to HBM in f32 plus the attention output in bf16,
     and the backward consumes them instead of recomputing scores + softmax
     + P·V), ``"bf16"`` (``=2``: probs stored bf16 — half the spill traffic
     for a bf16 rounding of the probs used by the backward's dS math; the
     f32 mode is numerically identical to recompute because ``_mm`` casts
-    its operands to bf16 at use anyway).
+    its operands to bf16 at use anyway), ``""`` (``=0``: off — the backward
+    recomputes the attention forward per tile, flash style).
 
     Only meaningful in per-image mid-N mode; ignored elsewhere. The spill
     trades ~2x the attention-forward compute (once in fwd, once recomputed
-    in bwd) against HBM round-trip traffic for the probs — measured in
-    results/bench_p4_breakdown.py, not assumed.
+    in bwd) against HBM round-trip traffic for the probs — measured, not
+    assumed (results/bench_savep.py, v5e, 12-block stack fwd+bwd): f32
+    spill wins at both shipped geometries — 206.9 -> 186.0 ms at N=50
+    group2 (-10.1%) and 62.7 -> 56.7 ms at N=13 group4 (-9.6%); bf16
+    probs lose ~2% to f32 (the in-kernel downcast costs more than the
+    saved traffic buys), so f32 is the default.
     """
     import os
 
-    v = os.environ.get("VST_MIDN_SAVEP", "")
+    v = os.environ.get("VST_MIDN_SAVEP", "1")
     if not v or v == "0":
         return ""
     return "bf16" if v == "2" else "f32"
