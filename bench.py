@@ -75,6 +75,38 @@ def vit_train_flops_per_image(
     return 3.0 * fwd
 
 
+def mim_train_flops_per_image(
+    mask_ratio: float = 0.75,
+    embed_dim: int = 192,
+    depth: int = 12,
+    dec_dim: int = 128,
+    dec_depth: int = 2,
+    patch: int = 4,
+    channels: int = 3,
+    n_patches: int = 49,
+) -> float:
+    """Forward+backward model FLOPs per image for MAE-style MIM pretraining
+    (VERDICT r4 next #6). Same conventions as
+    :func:`vit_train_flops_per_image`: matmul terms only, backward = 2x.
+
+    The encoder sees only the visible tokens (int(n_patches*(1-ratio)) + CLS
+    — models/mim.py random_masking), the decoder the full sequence at its
+    own width; patch embed covers ALL patches (masking happens after it).
+    """
+    def block(n, e, f):
+        return (2 * n * 3 * e * e + 2 * 2 * n * n * e
+                + 2 * n * e * e + 2 * 2 * n * e * f)
+
+    n_vis = int(n_patches * (1.0 - mask_ratio)) + 1
+    n_dec = n_patches + 1
+    fwd = 2 * n_patches * (patch * patch * channels) * embed_dim
+    fwd += depth * block(n_vis, embed_dim, 4 * embed_dim)
+    fwd += 2 * n_vis * embed_dim * dec_dim          # decoder embed proj
+    fwd += dec_depth * block(n_dec, dec_dim, 4 * dec_dim)
+    fwd += 2 * n_patches * dec_dim * (patch * patch * channels)  # pixel head
+    return 3.0 * fwd
+
+
 def run_bench() -> None:
     """The actual measurement (child process)."""
     import os
@@ -541,7 +573,8 @@ def run_bench() -> None:
         return state, jnp.stack([loss, jnp.float32(1.0)])
 
     bench_fused("pretrain-mim patch4 (13 visible tokens)", mim_p4_core,
-                mim_p4_params, 2)
+                mim_p4_params, 2,
+                flops_per_img=mim_train_flops_per_image())
 
     # Flash attention vs XLA attention at long sequence (fwd + bwd).
     from vision_spectra_tpu.ops.attention import mha

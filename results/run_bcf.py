@@ -36,8 +36,14 @@ REF_DELTAS = {"B": "+0.127", "C": "+0.315", "F": "+0.451"}
 REF_ACCS = {"B": "70.9%", "C": "65.3%", "F": "56.8%"}
 
 
-def purge_superseded_surrogate_runs() -> None:
-    """Soft-delete prior SURROGATE B/C/F runs before a refresh.
+def purge_superseded_surrogate_runs(
+    scenario: str, newer_than: float
+) -> None:
+    """Soft-delete ONE scenario's prior SURROGATE runs, AFTER its
+    replacement runs have finished (ADVICE r4: purging everything up front
+    left the store empty for un-retrained scenarios when a refresh died
+    mid-way — tunnel outages are routine here). Only runs started before
+    ``newer_than`` are purged, so the replacements survive.
 
     Surrogate generations are not commensurable — the generator's
     calibration constants (tint amplitude, noise std, …) change between
@@ -50,22 +56,21 @@ def purge_superseded_surrogate_runs() -> None:
     tracking.set_tracking_uri(OUT)
     client = tracking.MlflowClient(OUT)
     n = 0
-    for s in ("B", "C", "F"):
-        exp = client.get_experiment_by_name(f"spectral_scenario_{s}")
-        if exp is None:
-            continue
-        for run in client.search_runs([exp.experiment_id]):
-            if run.tags.get("data") == "surrogate":
-                client.delete_run(run.info.run_id)
-                n += 1
-    print(f"purged {n} superseded surrogate run(s)", flush=True)
+    exp = client.get_experiment_by_name(f"spectral_scenario_{scenario}")
+    if exp is None:
+        return
+    for run in client.search_runs([exp.experiment_id]):
+        if (run.tags.get("data") == "surrogate"
+                and run.info.start_time / 1000.0 < newer_than):
+            client.delete_run(run.info.run_id)
+            n += 1
+    print(f"{scenario}: purged {n} superseded surrogate run(s)", flush=True)
 
 
 def run_scenarios(num_seeds=None, epochs=None, data_dir=None):
     """Full-epoch 3-seed B/C/F by default; the real-data rehearsal drill
     (results/run_realdata_drill.py) shrinks seeds/epochs and points
     ``data_dir`` at a staged npz — same code path either way."""
-    purge_superseded_surrogate_runs()
     t0 = time.time()
     kwargs = {}
     if epochs is not None:
@@ -75,8 +80,13 @@ def run_scenarios(num_seeds=None, epochs=None, data_dir=None):
     for st in [ScenarioType.F_TINY_COMPLEX, ScenarioType.C_REDUCED_COMPLEX,
                ScenarioType.B_EXPRESSIVE_COMPLEX]:
         print(f"=== {st.value} start t={time.time()-t0:.0f}s ===", flush=True)
+        started = time.time()
         results = run_scenario(st, num_seeds=num_seeds, output_dir=OUT,
                                histogram_artifacts=False, **kwargs)
+        if all(r.success for r in results):
+            # Replacements landed: now (and only now) retire this
+            # scenario's previous surrogate generation.
+            purge_superseded_surrogate_runs(st.value, started)
         for r in results:
             print(
                 f"{st.value} seed {r.seed}: ok={r.success} "

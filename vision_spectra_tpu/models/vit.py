@@ -386,9 +386,13 @@ class ViTClassifier(nn.Module):
             return False
         if self.drop_rate != 0.0 or self.attn_drop_rate != 0.0:
             return False
-        from vision_spectra_tpu.ops.block_fused import kernel_serves
+        from vision_spectra_tpu.ops.block_fused import (
+            kernel_serves,
+            padded_tokens,
+        )
 
         b, n, _ = x.shape
+        n = padded_tokens(n)  # gate on the geometry _encode_fused will run
         rows = b * n
         if self.mesh is not None:
             from vision_spectra_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -431,10 +435,20 @@ class ViTClassifier(nn.Module):
         replicated — the shard_map transpose inserts the weight-gradient
         psum over ICI, so training composes with the mesh.
         """
-        from vision_spectra_tpu.ops.block_fused import fused_vit_block
+        from vision_spectra_tpu.ops.block_fused import (
+            fused_vit_block,
+            padded_tokens,
+        )
 
         interpret = jax.default_backend() != "tpu"
-        b, n, e = x.shape
+        b, n_real, e = x.shape
+        # Sublane alignment: optionally pad each image's token rows to a
+        # multiple of 8 (50 -> 56, 13 -> 16; see ops/block_fused.
+        # padded_tokens). Dummy rows are masked out of attention inside the
+        # kernel and sliced off below — numerics for real rows are exact.
+        n = padded_tokens(n_real)
+        if n != n_real:
+            x = jnp.pad(x, ((0, 0), (0, n - n_real), (0, 0)))
         rows = b * n
         tree = self.variables["params"]
         depth = self.depth
@@ -488,7 +502,8 @@ class ViTClassifier(nn.Module):
             for i in range(depth):
                 h = fused_vit_block(
                     h, params[i], m1_stack[i], m2_stack[i],
-                    num_heads=num_heads, n_tokens=n, interpret=interpret,
+                    num_heads=num_heads, n_tokens=n, n_real=n_real,
+                    interpret=interpret,
                 )
             return h
 
@@ -517,7 +532,8 @@ class ViTClassifier(nn.Module):
                 check_vma=False,
             )
         h = run_blocks(h, m1_stack, m2_stack, tuple(params_all))
-        return h.reshape(b, n, e)
+        h = h.reshape(b, n, e)
+        return h[:, :n_real] if n != n_real else h
 
     def forward_features(
         self, x: jnp.ndarray, deterministic: bool = True

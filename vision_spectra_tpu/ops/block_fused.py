@@ -35,12 +35,13 @@ Attention specializations (three, selected by ``select_tile``):
   attention runs per image-group as unrolled block-masked [g·N, g·N]
   softmax dots per head (default g = 2 at N >= 32, 4 below —
   ``_midn_group``, measured in results/bench_p4_breakdown.py; g is the
-  alignment/waste trade). Alternatives kept env-selectable for A/B:
-  ungrouped ``VST_MIDN_GROUP=1``, whole-tile masked [T, T] scores
-  (``VST_MIDN_MASKED=1``), one batched 3-D dot (``VST_MIDN_BATCHED=1`` —
-  measured loser), and the split-stage hybrid with XLA attention
-  (``VST_P4_HYBRID=1`` — measured loser, 3.8x slower: the HBM round trips
-  and padded f32 score tensors swamp the MXU win).
+  alignment/waste trade). Measured-loser alternatives are QUARANTINED in
+  ops/experimental/ (lazy-imported only when their env knob is set):
+  whole-tile masked [T, T] scores (``VST_MIDN_MASKED=1``), one batched 3-D
+  dot (``VST_MIDN_BATCHED=1``), and the split-stage hybrid with XLA
+  attention (``VST_P4_HYBRID=1`` — 3.8x slower). Ungrouped per-image
+  (``VST_MIDN_GROUP=1``) stays in this module (it is the group-g code at
+  g=1).
 
 - **N > 128 stays on the XLA path** (models/vit.py) — above the mid-N
   budget the masked/unrolled formulations lose to XLA's fused attention.
@@ -53,7 +54,8 @@ mid-N mode the forward instead spills the attention probs (f32) + output
 the lowest-MXU-efficiency slice of the re-execution traded against HBM
 round-trip traffic, measured a ~10% stack win at both shipped geometries
 (results/bench_savep.py; ``VST_MIDN_SAVEP=0`` restores the full-recompute
-backward, see :func:`_midn_savep`).
+backward, see :func:`_midn_savep` — including its peak-HBM *capacity* cost,
+which the spill pays on top of the traffic trade).
 
 Numerics match the XLA block to bf16 tolerance: LN statistics and softmax
 in f32 (flax LayerNorm semantics: fast variance, eps 1e-6, f32 stats),
@@ -71,7 +73,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["fused_vit_block", "kernel_serves", "TILE_ROWS"]
+__all__ = ["fused_vit_block", "kernel_serves", "padded_tokens", "TILE_ROWS"]
 
 TILE_ROWS = 256
 _LN_EPS = 1e-6
@@ -103,6 +105,40 @@ def _midn_tile_rows(n_tokens: int) -> int:
     if not _midn_per_image():
         return 256
     return 512 if n_tokens >= 32 else 256
+
+
+def padded_tokens(n: int) -> int:
+    """Sublane-aligned per-image token count for the mid-N path.
+
+    N=50 (patch-4) and N=13 (MIM visible) are sublane-misaligned: every
+    per-image/group slice inside the kernel starts at an offset that is not
+    a multiple of the 8-row f32 sublane tile, forcing Mosaic relayout
+    copies around each attention dot, and the group score matrices pad
+    internally anyway ([100,100] -> [104,128] physical). Padding each image
+    to the next multiple of 8 tokens (50 -> 56, 13 -> 16) makes every
+    slice, score matrix and spill buffer naturally aligned, at the cost of
+    n_pad/n extra rows through the non-attention matmuls. Whether that
+    trades positively is measured per geometry (results/bench_p4_pad.py).
+
+    Numerics are the SAME MATH for real rows: dummy tokens are masked out
+    of every real query's softmax (``_attn_mask``), all other ops are
+    row-local, and dummy rows receive zero cotangents (the model slices
+    them off before the loss), so they contribute exact zeros to weight
+    grads. Bit-level, the softmax row-sum reduces over n_pad vs n columns,
+    so identical values can round differently at the ulp level (measured
+    ~4e-9 on the probs — tests/test_ops.py TestMidNTokenPadding).
+
+    ``VST_MIDN_PAD=1`` enables; default OFF until the round-5 measurement
+    lands (pair path and already-aligned N are returned unchanged either
+    way).
+    """
+    import os
+
+    if n <= 2 or n % 8 == 0 or not 2 < n <= 128:
+        return n
+    if os.environ.get("VST_MIDN_PAD", "0") in ("", "0"):
+        return n
+    return -(-n // 8) * 8
 
 
 def select_tile(rows: int, n_tokens: int) -> int | None:
@@ -317,45 +353,25 @@ def _block_mask(t: int, n: int):
     return jnp.where(blk_r == blk_c, 0.0, -1e9)
 
 
+def _attn_mask(gn: int, n: int, n_real: int):
+    """Additive mask for grouped per-image scores: -1e9 across images AND on
+    dummy-key columns (token index >= n_real within each n-token image).
+    Returns None when no masking is needed (ungrouped, unpadded)."""
+    if gn == n and n_real == n:
+        return None
+    blk_r = jax.lax.broadcasted_iota(jnp.int32, (gn, gn), 0) // n
+    blk_c = jax.lax.broadcasted_iota(jnp.int32, (gn, gn), 1) // n
+    ok = blk_r == blk_c
+    if n_real < n:
+        tok_c = jax.lax.broadcasted_iota(jnp.int32, (gn, gn), 1) % n
+        ok = ok & (tok_c < n_real)
+    return jnp.where(ok, 0.0, -1e9)
+
+
 def _softmax_rows(s):
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=1, keepdims=True)
-
-
-def _attn_fwd_general(q, k, v, n, heads, scale):
-    """Block-diagonal masked attention for 2 < N <= 128 tokens.
-
-    The tile holds k whole images; per head, full [T, T] scores are computed
-    on the MXU and cross-image pairs are masked out — a factor-k FLOP
-    overhead on the (small) attention term in exchange for keeping the
-    native [rows, E] layout with no head transposes.
-
-    Returns ``(out, ps)`` with ``ps`` the per-head probability matrices —
-    the backward kernel recomputes this forward per tile anyway (flash
-    style), so handing ``ps`` to :func:`_attn_bwd_general` saves it a
-    second round of score matmuls + softmaxes.
-    """
-    t, e = q.shape
-    d = e // heads
-    neg = _block_mask(t, n)
-    outs = []
-    ps = []
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
-            q[:, sl].astype(jnp.bfloat16), k[:, sl].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + neg
-        p = _softmax_rows(s)
-        ps.append(p)
-        outs.append(jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v[:, sl].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ))
-    return jnp.concatenate(outs, axis=1), ps
 
 
 def _midn_mode() -> str:
@@ -373,8 +389,8 @@ def _midn_mode() -> str:
     attention and the rest of the block; numerically meaningless for
     training.
 
-    Per-image removes the factor-k masked-FLOP overhead of
-    :func:`_attn_fwd_general` AND shrinks the softmax/probability arrays
+    Per-image removes the factor-k masked-FLOP overhead of the masked
+    formulation (ops/experimental/midn_alternatives.py) AND shrinks the softmax/probability arrays
     from [T, T] to k x [N, N], which is what lets the mid-N row budget grow
     to 512 without blowing VMEM. Knobs exist for results/bench_midn.py."""
     from vision_spectra_tpu.core.runtime import env_flag
@@ -431,6 +447,17 @@ def _midn_savep() -> str:
     group2 (-10.1%) and 62.7 -> 56.7 ms at N=13 group4 (-9.6%); bf16
     probs lose ~2% to f32 (the in-kernel downcast costs more than the
     saved traffic buys), so f32 is the default.
+
+    PEAK-HBM CAPACITY COST (ADVICE r4): the spill holds residuals per
+    block until the backward consumes them — at the shipped patch-4
+    geometry (batch 8192, N=50, group2) each block adds ~480 MB of f32
+    probs + ~160 MB of bf16 ao, ~7-8 GB across the 12-block stack vs
+    ~2 GB recompute-only. Configurations that fit under recompute can
+    OOM or fail to compile with the spill on (group4/group8 and the
+    1024-row budget did — results/RESULTS.md); there is no automatic
+    fallback because the failure surfaces at XLA compile time, outside
+    this module's control — set ``VST_MIDN_SAVEP=0`` to restore the
+    recompute backward for larger batches.
     """
     import os
 
@@ -440,13 +467,38 @@ def _midn_savep() -> str:
     return "bf16" if v == "2" else "f32"
 
 
-def _savep_geometry(tile: int, n: int, heads: int, group: int):
+def _is_per_image_tag(midn: str) -> bool:
+    return midn.startswith("img") and midn != "imgb"
+
+
+def _midn_tag_group(midn: str) -> int:
+    """Group size encoded in a mid-N mode tag (``img`` -> 1, ``img4`` -> 4,
+    ``img2p50`` -> 2, anything non-per-image -> 1). THE one place the tag
+    format is parsed — kernels, builders and :func:`_savep_geometry` all go
+    through here so a future tag change cannot silently diverge between
+    them (ADVICE r4)."""
+    if _is_per_image_tag(midn):
+        return int(midn[3:].split("p")[0] or 1)
+    return 1
+
+
+def _midn_tag_nreal(midn: str, n: int) -> int:
+    """Real (unpadded) tokens per image encoded in a per-image tag
+    (``img2p50`` -> 50); defaults to ``n`` when no padding is in play."""
+    if _is_per_image_tag(midn) and "p" in midn:
+        return int(midn.rsplit("p", 1)[1])
+    return n
+
+
+def _savep_geometry(tile: int, n: int, heads: int, midn: str):
     """(effective_group, n_groups, gn, ps_rows) for the spilled-probs block
     layout at one tile: the probs are stored as a [heads * n_groups * gn,
     gn] stack of block-masked per-group probability matrices, in the same
     (head-major, group-minor) order :func:`_attn_fwd_per_image` emits them.
     Mirrors that function's fallback to group=1 when the tile's image count
-    is not divisible by the group."""
+    is not divisible by the group. Takes the midn mode tag directly so the
+    layout is derived from the tag in exactly one place."""
+    group = _midn_tag_group(midn)
     kimg = tile // n
     if kimg % group:
         group = 1
@@ -455,11 +507,12 @@ def _savep_geometry(tile: int, n: int, heads: int, group: int):
     return group, n_groups, gn, heads * n_groups * gn
 
 
-def _attn_fwd_per_image(q, k, v, n, heads, scale, group=1):
+def _attn_fwd_per_image(q, k, v, n, heads, scale, group=1, n_real=None):
     """Per-image attention for 2 < N <= 128: k·heads small MXU dots.
 
-    Same math as :func:`_attn_fwd_general` without the masked cross-image
-    FLOPs; ``ps`` is a [heads][k/group] nest of [group·N, group·N]
+    Same math as the masked whole-tile formulation
+    (ops/experimental/midn_alternatives.attn_fwd_general) without the
+    masked cross-image FLOPs; ``ps`` is a [heads][k/group] nest of [group·N, group·N]
     probability matrices consumed by :func:`_attn_bwd_per_image`.
     ``group`` > 1 batches that many adjacent images into one block-masked
     dot (see :func:`_midn_group`).
@@ -470,7 +523,7 @@ def _attn_fwd_per_image(q, k, v, n, heads, scale, group=1):
     if kimg % group:
         group = 1
     gn = group * n
-    neg = _block_mask(gn, n) if group > 1 else None
+    neg = _attn_mask(gn, n, n_real if n_real is not None else n)
     outs = []
     ps = []
     for h in range(heads):
@@ -545,123 +598,6 @@ def _attn_bwd_per_image(dao, q, k, v, ps, n, heads, scale, group=1):
             jnp.concatenate(dvs, axis=1))
 
 
-def _attn_fwd_per_image_batched(q, k, v, n, heads, scale):
-    """Per-image attention via ONE batched 3-D dot per head ("imgb" mode).
-
-    Same math as :func:`_attn_fwd_per_image`, but the k images in the tile
-    ride a leading batch dimension of a single ``dot_general`` instead of k
-    unrolled tiny dots; ``ps`` is a [heads] list of [k, N, N] probability
-    arrays consumed by :func:`_attn_bwd_per_image_batched`. Whether this
-    wins is a Mosaic lowering question — measured, not assumed
-    (results/bench_midn.py).
-    """
-    t, e = q.shape
-    kimg = t // n
-    d = e // heads
-    outs, ps = [], []
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        qb = q[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
-        kb = k[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
-        vb = v[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
-        s = jax.lax.dot_general(
-            qb, kb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [k, n, n]
-        m = jnp.max(s, axis=2, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=2, keepdims=True)
-        ps.append(p)
-        o = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vb,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [k, n, d]
-        outs.append(o.reshape(t, d))
-    return jnp.concatenate(outs, axis=1), ps
-
-
-def _attn_bwd_per_image_batched(dao, q, k, v, ps, n, heads, scale):
-    """Backward of :func:`_attn_fwd_per_image_batched` given its probs."""
-    t, e = q.shape
-    kimg = t // n
-    d = e // heads
-    dqs, dks, dvs = [], [], []
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        qb = q[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
-        kb = k[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
-        vb = v[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
-        dob = dao[:, sl].astype(jnp.bfloat16).reshape(kimg, n, d)
-        p = ps[h]  # [k, n, n] f32
-        pb = p.astype(jnp.bfloat16)
-        dv = jax.lax.dot_general(  # P^T @ dO per image
-            pb, dob, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [k, n, d]
-        dp = jax.lax.dot_general(  # dO @ V^T per image
-            dob, vb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [k, n, n]
-        ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
-        dsb = ds.astype(jnp.bfloat16)
-        dq = jax.lax.dot_general(
-            dsb, kb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [k, n, d]
-        dk = jax.lax.dot_general(  # dS^T @ Q per image
-            dsb, qb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dqs.append(dq.reshape(t, d))
-        dks.append(dk.reshape(t, d))
-        dvs.append(dv.reshape(t, d))
-    return (jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
-            jnp.concatenate(dvs, axis=1))
-
-
-def _attn_bwd_general(dao, q, k, v, ps, heads, scale):
-    """Backward of :func:`_attn_fwd_general` given its per-head probs."""
-    t, e = q.shape
-    d = e // heads
-    dqs, dks, dvs = [], [], []
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        qh = q[:, sl]
-        kh = k[:, sl]
-        vh = v[:, sl]
-        doh = dao[:, sl]
-        p = ps[h]
-        pb = p.astype(jnp.bfloat16)
-        dv = jax.lax.dot_general(
-            pb, doh.astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            doh.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-        dsb = ds.astype(jnp.bfloat16)
-        dq = jax.lax.dot_general(
-            dsb, kh.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dk = jax.lax.dot_general(
-            dsb, qh.astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dqs.append(dq)
-        dks.append(dk)
-        dvs.append(dv)
-    return (jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
-            jnp.concatenate(dvs, axis=1))
-
-
 def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
     """Pair attention backward; returns (dq, dk, dv)."""
     dv = a_s * dao + _partner(a_c * dao)
@@ -712,19 +648,26 @@ def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked", saved=None):
         ao = v
         ps = None
         a_s = a_c = pk = pv = None
-    elif midn == "imgb":
-        ao, ps = _attn_fwd_per_image_batched(q, k, v, n, heads, scale)
+    elif midn == "imgb":  # quarantined measured loser (A/B only)
+        from vision_spectra_tpu.ops.experimental import midn_alternatives
+
+        ao, ps = midn_alternatives.attn_fwd_per_image_batched(
+            q, k, v, n, heads, scale
+        )
         a_s = a_c = pk = pv = None
     elif midn.startswith("img"):  # "img" or "img{group}"
         if saved is not None:
             ps, ao = saved
         else:
             ao, ps = _attn_fwd_per_image(
-                q, k, v, n, heads, scale, group=int(midn[3:] or 1)
+                q, k, v, n, heads, scale, group=_midn_tag_group(midn),
+                n_real=_midn_tag_nreal(midn, n),
             )
         a_s = a_c = pk = pv = None
-    else:
-        ao, ps = _attn_fwd_general(q, k, v, n, heads, scale)
+    else:  # "masked" — quarantined measured loser (A/B only)
+        from vision_spectra_tpu.ops.experimental import midn_alternatives
+
+        ao, ps = midn_alternatives.attn_fwd_general(q, k, v, n, heads, scale)
         a_s = a_c = pk = pv = None
     p = _mm(ao, wp) + bp
     x_mid = x + m1 * p
@@ -770,8 +713,7 @@ def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype,
             # order _attn_fwd_per_image emits) and the attention output
             # for the backward kernel (see _midn_savep).
             tile = x_ref.shape[0]
-            group = int(midn[3:] or 1) if midn.startswith("img") else 1
-            _, n_groups, gn, _ = _savep_geometry(tile, n, heads, group)
+            _, n_groups, gn, _ = _savep_geometry(tile, n, heads, midn)
             for h in range(heads):
                 for i in range(n_groups):
                     j = h * n_groups + i
@@ -808,8 +750,7 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
         if savep:
             ps_ref, ao_ref = refs[N_PARAMS + 3:N_PARAMS + 5]
             tile = x_ref.shape[0]
-            group = int(midn[3:] or 1) if midn.startswith("img") else 1
-            _, n_groups, gn, _ = _savep_geometry(tile, n, heads, group)
+            _, n_groups, gn, _ = _savep_geometry(tile, n, heads, midn)
             ps_nest = []
             for h in range(heads):
                 pimg = []
@@ -850,17 +791,21 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
             # stays live with data-dependent operands (zeros could be
             # constant-folded, over-ablating the measurement).
             dq = dk = dv = dao
-        elif midn == "imgb":
-            dq, dk, dv = _attn_bwd_per_image_batched(
+        elif midn == "imgb":  # quarantined measured loser (A/B only)
+            from vision_spectra_tpu.ops.experimental import midn_alternatives
+
+            dq, dk, dv = midn_alternatives.attn_bwd_per_image_batched(
                 dao, t["q"], t["k"], t["v"], t["ps"], n, heads, t["scale"],
             )
         elif midn.startswith("img"):  # "img" or "img{group}"
             dq, dk, dv = _attn_bwd_per_image(
                 dao, t["q"], t["k"], t["v"], t["ps"], n, heads, t["scale"],
-                group=int(midn[3:] or 1),
+                group=_midn_tag_group(midn),
             )
-        else:
-            dq, dk, dv = _attn_bwd_general(
+        else:  # "masked" — quarantined measured loser (A/B only)
+            from vision_spectra_tpu.ops.experimental import midn_alternatives
+
+            dq, dk, dv = midn_alternatives.attn_bwd_general(
                 dao, t["q"], t["k"], t["v"], t["ps"], heads, t["scale"],
             )
         dy1 = _mm_t(dq, wq) + _mm_t(dk, wk) + _mm_t(dv, wv)
@@ -903,8 +848,7 @@ def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
     out_specs = pl.BlockSpec((tile, e), lambda i: (i, 0))
     out_shape = jax.ShapeDtypeStruct((rows, e), out_dtype)
     if savep:
-        group = int(midn[3:] or 1) if midn.startswith("img") else 1
-        _, _, gn, ps_rows = _savep_geometry(tile, n, heads, group)
+        _, _, gn, ps_rows = _savep_geometry(tile, n, heads, midn)
         grid = rows // tile
         out_specs = [
             out_specs,
@@ -943,8 +887,7 @@ def _build_bwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
     grad_shapes = _param_shapes(e, f)
     savep_specs = []
     if savep:
-        group = int(midn[3:] or 1) if midn.startswith("img") else 1
-        _, _, gn, ps_rows = _savep_geometry(tile, n, heads, group)
+        _, _, gn, ps_rows = _savep_geometry(tile, n, heads, midn)
         savep_specs = [
             pl.BlockSpec((ps_rows, gn), lambda i: (i, 0)),
             pl.BlockSpec((tile, e), lambda i: (i, 0)),
@@ -986,17 +929,26 @@ def _cast_weights(params):
     )
 
 
-def _midn_mode_tag(n: int) -> str:
+def _midn_mode_tag(n: int, n_real: int | None = None) -> str:
     """Mode string for the kernel builders (part of the lru cache key):
     ``pair`` at N == 2; otherwise the mid-N mode, with a per-image group
-    size > 1 folded in as ``img{g}``."""
+    size > 1 folded in as ``img{g}`` and a padded token count as
+    ``p{n_real}`` (``img2p50``: group-2 dots over 56-token images of which
+    50 are real — see :func:`padded_tokens`)."""
     if n == 2:
         return "pair"
     mode = _midn_mode()
     if mode == "img":
         g = _midn_group(n)
         if g > 1:
-            return f"img{g}"
+            mode = f"img{g}"
+        if n_real is not None and n_real != n:
+            mode += f"p{n_real}"
+    elif n_real is not None and n_real != n:
+        raise ValueError(
+            f"token padding (n_real={n_real} != n={n}) is only supported on "
+            f"the per-image mid-N path, not mode {mode!r}"
+        )
     return mode
 
 
@@ -1004,27 +956,27 @@ def _savep_for_tag(tag: str) -> str:
     """The spill mode for this kernel tag — per-image unrolled modes only
     (``img`` / ``img{g}``; the pair, masked, batched and ablation paths
     keep their recompute backward)."""
-    if tag == "img" or (tag.startswith("img") and tag[3:].isdigit()):
+    if _is_per_image_tag(tag) and tag != "pair":
         return _midn_savep()
     return ""
 
 
-def _run_fwd(heads, n, interpret, x, params, m1, m2):
+def _run_fwd(heads, n, n_real, interpret, x, params, m1, m2):
     rows, e = x.shape
     f = params[12].shape[1]
     tile = select_tile(rows, n)
     call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
-                      _midn_mode_tag(n))
+                      _midn_mode_tag(n, n_real))
     return call(x, *_cast_weights(params), m1, m2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused_block(heads, n, interpret, x, params, m1, m2):
-    return _run_fwd(heads, n, interpret, x, params, m1, m2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_block(heads, n, n_real, interpret, x, params, m1, m2):
+    return _run_fwd(heads, n, n_real, interpret, x, params, m1, m2)
 
 
-def _fused_block_fwd(heads, n, interpret, x, params, m1, m2):
-    tag = _midn_mode_tag(n)
+def _fused_block_fwd(heads, n, n_real, interpret, x, params, m1, m2):
+    tag = _midn_mode_tag(n, n_real)
     savep = _savep_for_tag(tag)
     if savep:
         rows, e = x.shape
@@ -1034,16 +986,16 @@ def _fused_block_fwd(heads, n, interpret, x, params, m1, m2):
                           interpret, tag, savep)
         out, ps_buf, ao_buf = call(x, *_cast_weights(params), m1, m2)
         return out, (x, params, m1, m2, ps_buf, ao_buf)
-    return (_run_fwd(heads, n, interpret, x, params, m1, m2),
+    return (_run_fwd(heads, n, n_real, interpret, x, params, m1, m2),
             (x, params, m1, m2, None, None))
 
 
-def _fused_block_bwd(heads, n, interpret, res, dy):
+def _fused_block_bwd(heads, n, n_real, interpret, res, dy):
     x, params, m1, m2, ps_buf, ao_buf = res
     rows, e = x.shape
     f = params[12].shape[1]
     tile = select_tile(rows, n)
-    tag = _midn_mode_tag(n)
+    tag = _midn_mode_tag(n, n_real)
     savep = _savep_for_tag(tag) if ps_buf is not None else ""
     call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
                       tag, savep)
@@ -1069,6 +1021,7 @@ def fused_vit_block(
     *,
     num_heads: int,
     n_tokens: int = 2,
+    n_real: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One pre-LN transformer block as a single fused kernel.
@@ -1086,23 +1039,32 @@ def fused_vit_block(
         n_tokens: tokens per image — 2 selects the pair-attention path, 3
             to 128 the per-image mid-N path (masked [T, T] fallback via
             ``VST_MIDN_MASKED=1``).
+        n_real: real tokens per image when the caller padded each image to
+            ``n_tokens`` rows for sublane alignment (:func:`padded_tokens`);
+            dummy keys are masked out of every real query's softmax and
+            dummy rows carry exact-zero cotangents. Defaults to
+            ``n_tokens`` (no padding).
 
     Returns [rows, E] activations in ``x.dtype``. Differentiable wrt ``x``
     and ``params`` (masks receive zero cotangents).
 
-    ``VST_P4_HYBRID=1`` (mid-N only) reroutes through the split-stage
-    hybrid (ops/block_hybrid.py): Pallas LN1+QKV, head-batched XLA
-    attention, Pallas proj+LN2+MLP — an env-gated experiment measured by
-    results/bench_p4_breakdown.py.
+    ``VST_P4_HYBRID=1`` (mid-N only) reroutes through the quarantined
+    split-stage hybrid (ops/experimental/block_hybrid.py): Pallas LN1+QKV,
+    head-batched XLA attention, Pallas proj+LN2+MLP — an env-gated
+    measured-loser kept for A/B (results/bench_p4_breakdown.py).
     """
     if n_tokens > 2:
         from vision_spectra_tpu.core.runtime import env_flag
 
         if env_flag("VST_P4_HYBRID"):
-            from vision_spectra_tpu.ops.block_hybrid import hybrid_vit_block
+            from vision_spectra_tpu.ops.experimental.block_hybrid import (
+                hybrid_vit_block,
+            )
 
             return hybrid_vit_block(
                 x, params, m1, m2, num_heads=num_heads,
                 n_tokens=n_tokens, interpret=interpret,
             )
-    return _fused_block(num_heads, n_tokens, interpret, x, params, m1, m2)
+    return _fused_block(num_heads, n_tokens,
+                        n_tokens if n_real is None else n_real,
+                        interpret, x, params, m1, m2)
