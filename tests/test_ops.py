@@ -851,7 +851,10 @@ class TestFusedBlockGeneralN:
 
 class TestMidNTokenPadding:
     """VST_MIDN_PAD=1 pads each image's token rows to a multiple of 8
-    (50 -> 56) for sublane alignment. Same math for real rows — dummy keys
+    (50 -> 56) for sublane alignment — a measured loser on TPU
+    (results/bench_p4_pad.py), kept env-gated; the full parity test is
+    opt-in (-m experimental) per the quarantine policy, the cheap value
+    tests stay default. Same math for real rows — dummy keys
     masked from every softmax, dummy rows carry zero cotangents — but the
     softmax row-sum reduces over 112 vs 100 columns, so identical values
     round differently at the ulp level (measured ~4e-9 at the probs,
@@ -867,6 +870,7 @@ class TestMidNTokenPadding:
         )
         return m
 
+    @pytest.mark.experimental
     def test_padded_matches_unpadded(self, monkeypatch):
         rng = np.random.RandomState(3)
         x = jnp.asarray(rng.randn(8, 28, 28, 3).astype(np.float32))

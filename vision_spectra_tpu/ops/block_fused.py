@@ -117,8 +117,12 @@ def padded_tokens(n: int) -> int:
     internally anyway ([100,100] -> [104,128] physical). Padding each image
     to the next multiple of 8 tokens (50 -> 56, 13 -> 16) makes every
     slice, score matrix and spill buffer naturally aligned, at the cost of
-    n_pad/n extra rows through the non-attention matmuls. Whether that
-    trades positively is measured per geometry (results/bench_p4_pad.py).
+    n_pad/n extra rows through the non-attention matmuls. MEASURED LOSER
+    (results/bench_p4_pad.py, v5e, round 5): the extra rows pass straight
+    through — stack +9.5% at N=50 (188.1 -> 206.0 ms) and +10% at N=13
+    (57.3 -> 63.0 ms), full step 213.6 -> 230.4 ms — i.e. Mosaic's
+    relayout of the misaligned per-image slices was NOT a material cost.
+    Kept env-selectable as the record of the experiment.
 
     Numerics are the SAME MATH for real rows: dummy tokens are masked out
     of every real query's softmax (``_attn_mask``), all other ops are
@@ -128,9 +132,8 @@ def padded_tokens(n: int) -> int:
     so identical values can round differently at the ulp level (measured
     ~4e-9 on the probs — tests/test_ops.py TestMidNTokenPadding).
 
-    ``VST_MIDN_PAD=1`` enables; default OFF until the round-5 measurement
-    lands (pair path and already-aligned N are returned unchanged either
-    way).
+    ``VST_MIDN_PAD=1`` enables; default OFF (the measurement above — pair
+    path and already-aligned N are returned unchanged either way).
     """
     import os
 
