@@ -4,6 +4,8 @@ These mirror the reference oracle suite (reference: tests/test_metrics.py) and
 additionally pin the on-device batched path against the host float64 path.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -415,3 +417,58 @@ class TestPaddedDynamicMetrics:
         assert bucket_dim(192) == 192
         assert bucket_dim(577) == 768
         assert bucket_dim(5000) == 5120
+
+
+class TestTrainedWeightDrift:
+    """Device-f32 vs host-float64 drift at TRAINED weight scales
+    (VERDICT r4 next #7). Random Gaussian matrices have benign
+    Marchenko-Pastur bulks; the publication path runs on trained weights
+    with heavy-tailed spectra and tiny tail singular values — this fixture
+    (8 epochs of the 192d/6L scenario-B model on the PathMNIST surrogate,
+    results/make_spectral_fixture.py) pins exactly that case. The alpha
+    budget for scenario reproduction is +-0.02; the f32 path must
+    contribute well under it."""
+
+    FIXTURE = Path(__file__).parent / "fixtures" / "trained_spectra_192d.npz"
+
+    def test_alpha_and_hill_drift_far_below_budget(self):
+        from vision_spectra_tpu.spectral import (
+            batched_spectral_metrics_padded,
+            get_spectral_metrics,
+        )
+
+        assert self.FIXTURE.exists(), "run results/make_spectral_fixture.py"
+        with np.load(self.FIXTURE) as z:
+            mats = {k: z[k].astype(np.float32) for k in z.files}
+        assert len(mats) >= 10
+        # Sanity: these must be genuinely trained, heavy-tailed spectra —
+        # a trained 192x192 attention matrix has alpha well above the
+        # Gaussian-init value and stable rank well below n.
+        svs, dev_metrics = batched_spectral_metrics_padded(list(mats.values()))
+        worst_a = worst_h = 0.0
+        for (name, mat), dm in zip(mats.items(), dev_metrics):
+            host = get_spectral_metrics(mat)
+            da = abs(dm["alpha_exponent"] - host["alpha_exponent"])
+            dh = abs(dm["pl_alpha_hill"] - host["pl_alpha_hill"])
+            worst_a = max(worst_a, da)
+            worst_h = max(worst_h, dh)
+            assert np.isfinite(host["alpha_exponent"]), name
+            assert da < 0.002, (name, dm["alpha_exponent"], host["alpha_exponent"])
+            assert dh < 0.002, (name, dm["pl_alpha_hill"], host["pl_alpha_hill"])
+        # The whole-fixture worst drift must be an order of magnitude under
+        # the +-0.02 delta-alpha budget.
+        assert worst_a < 0.002 and worst_h < 0.002
+
+    def test_fixture_spectra_are_trained(self):
+        from vision_spectra_tpu.spectral import get_spectral_metrics
+
+        assert self.FIXTURE.exists(), "run results/make_spectral_fixture.py"
+        with np.load(self.FIXTURE) as z:
+            mats = {k: z[k].astype(np.float32) for k in z.files}
+        # At least one attention matrix shows post-training structure:
+        # stable rank meaningfully below full rank.
+        srs = [
+            get_spectral_metrics(m)["stable_rank"] / min(m.shape)
+            for k, m in mats.items() if m.shape == (192, 192)
+        ]
+        assert srs and min(srs) < 0.8, srs

@@ -365,11 +365,20 @@ class ViTClassifier(nn.Module):
 
     def encode(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """Token sequence → token sequence through all blocks + final norm."""
+        return self.norm(self.encode_tokens(x, deterministic))
+
+    def encode_tokens(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Blocks only — PRE final-norm tokens. Lets consumers that keep a
+        token subset (classification keeps CLS only) slice before paying
+        the final LayerNorm over the whole sequence; LN is per-token, so
+        slice-then-norm is numerically identical to norm-then-slice."""
         if self._fused_blocks_active(x):
-            return self.norm(self._encode_fused(x, deterministic))
+            return self._encode_fused(x, deterministic)
         for blk in self.blocks:
             x = blk(x, deterministic=deterministic)
-        return self.norm(x)
+        return x
 
     def _fused_blocks_active(self, x: jnp.ndarray) -> bool:
         """Whether to run blocks through the fused Pallas kernel.
@@ -555,9 +564,15 @@ class ViTClassifier(nn.Module):
         return maps
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """Images [B, H, W, C] → logits [B, num_classes] (CLS pooling)."""
-        tokens = self.forward_features(x, deterministic)
-        return self.head(tokens[:, 0]).astype(jnp.float32)
+        """Images [B, H, W, C] → logits [B, num_classes] (CLS pooling).
+
+        The final LayerNorm is applied AFTER slicing the CLS token (LN is
+        per-token, so this is numerically identical to normalizing the full
+        sequence first) — at patch-4 geometry that removes 49/50 of the
+        final-norm work fwd+bwd from the classification step."""
+        tokens = self.encode_tokens(self.embed(x, deterministic), deterministic)
+        cls = self.norm(tokens[:, 0])
+        return self.head(cls).astype(jnp.float32)
 
 
 @dataclass

@@ -430,6 +430,25 @@ def _midn_group(n_tokens: int) -> int:
     return 2 if n_tokens >= 32 else 4
 
 
+def _abl_flags() -> str:
+    """MEASUREMENT-ONLY component ablations for the whole-step roofline
+    (results/bench_p4_roofline.py): 'g' = GELU -> identity, 'l' =
+    LayerNorm -> scale*x+bias (stats skipped), 'w' = weight-grad matmuls +
+    accumulation skipped. Read per kernel build and part of the builder
+    cache key; numerically meaningless for training — never set these in a
+    real run."""
+    import os
+
+    out = []
+    if os.environ.get("VST_ABL_GELU", ""):
+        out.append("g")
+    if os.environ.get("VST_ABL_LN", ""):
+        out.append("l")
+    if os.environ.get("VST_ABL_WGRAD", ""):
+        out.append("w")
+    return "".join(out)
+
+
 def _midn_savep() -> str:
     """Spill mode for per-image attention across fwd/bwd (``VST_MIDN_SAVEP``):
 
@@ -619,7 +638,8 @@ def _attn_bwd(dao, q, k, v, a_s, a_c, pk, pv, g_mat, scale):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked", saved=None):
+def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked", saved=None,
+              abl=""):
     """Shared forward trace; returns dict of intermediates.
 
     ``midn`` selects the mid-N (2 < N <= 128) attention formulation:
@@ -639,8 +659,9 @@ def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked", saved=None):
     d = e // heads
     scale = 1.0 / float(d) ** 0.5
     g_mat = _group_matrix(e, d) if n == 2 else None
+    ln_fwd = (lambda a, sc, bi: a * sc + bi) if "l" in abl else _ln_fwd
 
-    y1 = _ln_fwd(x, ln1s, ln1b)
+    y1 = ln_fwd(x, ln1s, ln1b)
     q = _mm(y1, wq) + bq
     k = _mm(y1, wk) + bk
     v = _mm(y1, wv) + bv
@@ -674,10 +695,14 @@ def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked", saved=None):
         a_s = a_c = pk = pv = None
     p = _mm(ao, wp) + bp
     x_mid = x + m1 * p
-    y2 = _ln_fwd(x_mid, ln2s, ln2b)
+    y2 = ln_fwd(x_mid, ln2s, ln2b)
     u = _mm(y2, w1) + b1
-    tg = _gelu_t(u)
-    h = _gelu(u, tg)
+    if "g" in abl:  # measurement-only: identity activation
+        tg = None
+        h = u
+    else:
+        tg = _gelu_t(u)
+        h = _gelu(u, tg)
     o = _mm(h, w2) + b2
     x_out = x_mid + m2 * o
     return dict(y1=y1, q=q, k=k, v=v, ao=ao, a_s=a_s, a_c=a_c, pk=pk,
@@ -699,7 +724,7 @@ def _load_params(param_refs):
 
 
 def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype,
-                     midn: str, savep: str = ""):
+                     midn: str, savep: str = "", abl: str = ""):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         if savep:
@@ -709,7 +734,7 @@ def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype,
         x = x_ref[...].astype(jnp.float32)
         params = _load_params(param_refs)
         t = _fwd_body(x, params, m1_ref[...], m2_ref[...], e, heads, n,
-                      midn)
+                      midn, abl=abl)
         o_ref[...] = t["x_out"].astype(out_dtype)
         if savep:
             # Spill the per-image probs (head-major, group-minor — the
@@ -729,7 +754,7 @@ def _make_fwd_kernel(e: int, f: int, heads: int, n: int, out_dtype,
 
 
 def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
-                     midn: str, savep: str = ""):
+                     midn: str, savep: str = "", abl: str = ""):
     def kernel(x_ref, *refs):
         param_refs = refs[:N_PARAMS]
         m1_ref, m2_ref, dy_ref = refs[N_PARAMS:N_PARAMS + 3]
@@ -764,19 +789,26 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
                     )
                 ps_nest.append(pimg)
             saved = (ps_nest, ao_ref[...].astype(jnp.float32))
-        t = _fwd_body(x, params, m1, m2, e, heads, n, midn, saved=saved)
+        t = _fwd_body(x, params, m1, m2, e, heads, n, midn, saved=saved,
+                      abl=abl)
         dy = dy_ref[...].astype(jnp.float32)
+
+        def ln_bwd(dyv, xv, sc):
+            if "l" in abl:  # measurement-only: stats skipped
+                return (dyv * sc, jnp.sum(dyv * xv, axis=0, keepdims=True),
+                        jnp.sum(dyv, axis=0, keepdims=True))
+            return _ln_bwd(dyv, xv, sc)
 
         # MLP branch.
         do = dy * m2
         dh = _mm_t(do, w2)
         dw2 = _mm_grad(t["h"], do)
         db2 = jnp.sum(do, axis=0, keepdims=True)
-        du = dh * _dgelu(t["u"], t["tg"])
+        du = dh if "g" in abl else dh * _dgelu(t["u"], t["tg"])
         dy2 = _mm_t(du, w1)
         dw1 = _mm_grad(t["y2"], du)
         db1 = jnp.sum(du, axis=0, keepdims=True)
-        dx_ln2, ds2, dbe2 = _ln_bwd(dy2, t["x_mid"], ln2s)
+        dx_ln2, ds2, dbe2 = ln_bwd(dy2, t["x_mid"], ln2s)
         dxm = dy + dx_ln2
 
         # Attention branch.
@@ -818,13 +850,14 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
         dbk = jnp.sum(dk, axis=0, keepdims=True)
         dwv = _mm_grad(t["y1"], dv)
         dbv = jnp.sum(dv, axis=0, keepdims=True)
-        dx_ln1, ds1, dbe1 = _ln_bwd(dy1, x, ln1s)
+        dx_ln1, ds1, dbe1 = ln_bwd(dy1, x, ln1s)
 
         dx_ref[...] = (dxm + dx_ln1).astype(x_dtype)
-        grads = (ds1, dbe1, dwq, dbq, dwk, dbk, dwv, dbv, dwp, dbp,
-                 ds2, dbe2, dw1, db1, dw2, db2)
-        for r, g in zip(grad_refs, grads):
-            r[...] += g
+        if "w" not in abl:  # 'w': weight-grad matmuls+accumulation ablated
+            grads = (ds1, dbe1, dwq, dbq, dwk, dbk, dwv, dbv, dwp, dbp,
+                     ds2, dbe2, dw1, db1, dw2, db2)
+            for r, g in zip(grad_refs, grads):
+                r[...] += g
 
     return kernel
 
@@ -845,9 +878,9 @@ def _param_shapes(e: int, f: int):
 @functools.lru_cache(maxsize=None)
 def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
                dtype_name: str, interpret: bool, midn: str = "masked",
-               savep: str = ""):
+               savep: str = "", abl: str = ""):
     out_dtype = jnp.dtype(dtype_name)
-    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype, midn, savep)
+    kernel = _make_fwd_kernel(e, f, heads, n, out_dtype, midn, savep, abl)
     out_specs = pl.BlockSpec((tile, e), lambda i: (i, 0))
     out_shape = jax.ShapeDtypeStruct((rows, e), out_dtype)
     if savep:
@@ -884,9 +917,9 @@ def _build_fwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
 @functools.lru_cache(maxsize=None)
 def _build_bwd(rows: int, e: int, f: int, heads: int, n: int, tile: int,
                dtype_name: str, interpret: bool, midn: str = "masked",
-               savep: str = ""):
+               savep: str = "", abl: str = ""):
     x_dtype = jnp.dtype(dtype_name)
-    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype, midn, savep)
+    kernel = _make_bwd_kernel(e, f, heads, n, x_dtype, midn, savep, abl)
     grad_shapes = _param_shapes(e, f)
     savep_specs = []
     if savep:
@@ -969,7 +1002,7 @@ def _run_fwd(heads, n, n_real, interpret, x, params, m1, m2):
     f = params[12].shape[1]
     tile = select_tile(rows, n)
     call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
-                      _midn_mode_tag(n, n_real))
+                      _midn_mode_tag(n, n_real), "", _abl_flags())
     return call(x, *_cast_weights(params), m1, m2)
 
 
@@ -986,7 +1019,7 @@ def _fused_block_fwd(heads, n, n_real, interpret, x, params, m1, m2):
         f = params[12].shape[1]
         tile = select_tile(rows, n)
         call = _build_fwd(rows, e, f, heads, n, tile, x.dtype.name,
-                          interpret, tag, savep)
+                          interpret, tag, savep, _abl_flags())
         out, ps_buf, ao_buf = call(x, *_cast_weights(params), m1, m2)
         return out, (x, params, m1, m2, ps_buf, ao_buf)
     return (_run_fwd(heads, n, n_real, interpret, x, params, m1, m2),
@@ -1001,7 +1034,7 @@ def _fused_block_bwd(heads, n, n_real, interpret, res, dy):
     tag = _midn_mode_tag(n, n_real)
     savep = _savep_for_tag(tag) if ps_buf is not None else ""
     call = _build_bwd(rows, e, f, heads, n, tile, x.dtype.name, interpret,
-                      tag, savep)
+                      tag, savep, _abl_flags())
     extra = (ps_buf, ao_buf) if savep else ()
     out = call(x, *_cast_weights(params), m1, m2, dy.astype(x.dtype),
                *extra)
