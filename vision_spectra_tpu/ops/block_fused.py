@@ -430,6 +430,23 @@ def _midn_group(n_tokens: int) -> int:
     return 2 if n_tokens >= 32 else 4
 
 
+def _qkv_fused() -> bool:
+    """``VST_QKV_FUSED=1``: compute Q/K/V (and their input- and
+    weight-gradients) as ONE wide dot over a concatenated [E, 3E] weight
+    instead of three [E, E] dots. At E = 192 the three narrow dots each pad
+    their 192 output lanes to 2 MXU tiles (75% N-utilization); the fused
+    576-lane dot pads to 5 tiles (90%) and amortizes per-dot overhead.
+    The concatenation is a per-tile VMEM copy (~0.2 MB, off the HBM path).
+    MEASURED LOSER (round 5, v5e): stack 186.2 -> 198.3 ms at N=50 and
+    flat at N=2 — the per-tile concats cost more than the wider dot buys,
+    i.e. Mosaic already tiles the 192-lane dots well (consistent with the
+    flagship's ~79% fwd+bwd MFU at E=192). Kept env-selectable as the
+    record; default off."""
+    import os
+
+    return os.environ.get("VST_QKV_FUSED", "0") not in ("", "0")
+
+
 def _abl_flags() -> str:
     """MEASUREMENT-ONLY component ablations for the whole-step roofline
     (results/bench_p4_roofline.py): 'g' = GELU -> identity, 'l' =
@@ -446,6 +463,8 @@ def _abl_flags() -> str:
         out.append("l")
     if os.environ.get("VST_ABL_WGRAD", ""):
         out.append("w")
+    if _qkv_fused():
+        out.append("Q")  # not an ablation: the fused-QKV dot variant
     return "".join(out)
 
 
@@ -662,9 +681,16 @@ def _fwd_body(x, params, m1, m2, e, heads, n, midn="masked", saved=None,
     ln_fwd = (lambda a, sc, bi: a * sc + bi) if "l" in abl else _ln_fwd
 
     y1 = ln_fwd(x, ln1s, ln1b)
-    q = _mm(y1, wq) + bq
-    k = _mm(y1, wk) + bk
-    v = _mm(y1, wv) + bv
+    if "Q" in abl:  # one wide [E, 3E] dot (see _qkv_fused)
+        wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+        qkv = _mm(y1, wqkv) + jnp.concatenate([bq, bk, bv], axis=1)
+        q = qkv[:, :e]
+        k = qkv[:, e:2 * e]
+        v = qkv[:, 2 * e:]
+    else:
+        q = _mm(y1, wq) + bq
+        k = _mm(y1, wk) + bk
+        v = _mm(y1, wv) + bv
     if n == 2:
         ao, a_s, a_c, pk, pv = _attn_fwd(q, k, v, g_mat, scale)
         ps = None
@@ -843,13 +869,25 @@ def _make_bwd_kernel(e: int, f: int, heads: int, n: int, x_dtype,
             dq, dk, dv = midn_alternatives.attn_bwd_general(
                 dao, t["q"], t["k"], t["v"], t["ps"], heads, t["scale"],
             )
-        dy1 = _mm_t(dq, wq) + _mm_t(dk, wk) + _mm_t(dv, wv)
-        dwq = _mm_grad(t["y1"], dq)
-        dbq = jnp.sum(dq, axis=0, keepdims=True)
-        dwk = _mm_grad(t["y1"], dk)
-        dbk = jnp.sum(dk, axis=0, keepdims=True)
-        dwv = _mm_grad(t["y1"], dv)
-        dbv = jnp.sum(dv, axis=0, keepdims=True)
+        if "Q" in abl:  # fused dy1 + dW dots (see _qkv_fused)
+            dqkv = jnp.concatenate([dq, dk, dv], axis=1)
+            dy1 = _mm_t(dqkv, jnp.concatenate([wq, wk, wv], axis=1))
+            dwqkv = _mm_grad(t["y1"], dqkv)
+            dwq = dwqkv[:, :e]
+            dwk = dwqkv[:, e:2 * e]
+            dwv = dwqkv[:, 2 * e:]
+            dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+            dbq = dbqkv[:, :e]
+            dbk = dbqkv[:, e:2 * e]
+            dbv = dbqkv[:, 2 * e:]
+        else:
+            dy1 = _mm_t(dq, wq) + _mm_t(dk, wk) + _mm_t(dv, wv)
+            dwq = _mm_grad(t["y1"], dq)
+            dbq = jnp.sum(dq, axis=0, keepdims=True)
+            dwk = _mm_grad(t["y1"], dk)
+            dbk = jnp.sum(dk, axis=0, keepdims=True)
+            dwv = _mm_grad(t["y1"], dv)
+            dbv = jnp.sum(dv, axis=0, keepdims=True)
         dx_ln1, ds1, dbe1 = ln_bwd(dy1, x, ln1s)
 
         dx_ref[...] = (dxm + dx_ln1).astype(x_dtype)
