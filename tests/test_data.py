@@ -470,3 +470,47 @@ class TestDownloadAttempt:
         monkeypatch.setattr(mm, "_attempt_network_download", fake_fetch)
         out = mm.download_medmnist("pneumoniamnist", tmp_path / "dl")
         assert out.exists() and out.name == "pneumoniamnist.npz"
+
+
+class TestSurrogateGenerationFingerprint:
+    """VERDICT r4 weak #5, proven necessary in round 5: the generation
+    caches originally ignored the calibration knobs, so a knob change
+    silently reused stale arrays (the robustness grid returned four
+    bit-identical corners). The fingerprint keys the caches and tags runs."""
+
+    def test_knob_change_regenerates(self):
+        from vision_spectra_tpu.data import medmnist as mm
+
+        s1 = mm._surrogate_split("pneumoniamnist", "val", 32, 28, seed=11)
+        fp1 = mm.surrogate_generation_fingerprint()
+        old = mm.SURROGATE_TINT_AMP
+        try:
+            mm.SURROGATE_TINT_AMP = old * 1.5
+            fp2 = mm.surrogate_generation_fingerprint()
+            s2 = mm._surrogate_split("pneumoniamnist", "val", 32, 28, seed=11)
+        finally:
+            mm.SURROGATE_TINT_AMP = old
+        assert fp1 != fp2
+        assert not np.array_equal(s1.images, s2.images)
+        # Restoring the knob returns the ORIGINAL cached arrays.
+        s3 = mm._surrogate_split("pneumoniamnist", "val", 32, 28, seed=11)
+        assert np.array_equal(s1.images, s3.images)
+
+    def test_comparison_refuses_mixed_generations(self, tmp_path):
+        import pytest
+
+        from vision_spectra_tpu import tracking
+        from vision_spectra_tpu.analysis.publication_figures import (
+            extract_scenario_metrics,
+        )
+
+        tracking.set_tracking_uri(tmp_path)
+        tracking.set_experiment("spectral_scenario_B")
+        for gen in ("aaaa", "bbbb"):
+            with tracking.start_run(run_name=f"seed_{gen}"):
+                tracking.set_tag("data", "surrogate")
+                tracking.set_tag("surrogate_gen", gen)
+                tracking.log_metric("final/val_accuracy", 50.0, step=0)
+        with pytest.raises(ValueError, match="distinct"):
+            extract_scenario_metrics("B", str(tmp_path),
+                                     include_surrogate=True)

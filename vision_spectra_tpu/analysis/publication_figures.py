@@ -114,6 +114,22 @@ def extract_scenario_metrics(
         logger.warning("No usable finished runs for '%s'", experiment_name)
         return None
 
+    # Comparison-time generation guard (VERDICT r4 weak #5): surrogate runs
+    # from different generator calibrations are not commensurable — refuse
+    # to aggregate them rather than silently blending (the round-4 store
+    # incident, and the round-5 robustness study's stale-cache bug, were
+    # both this failure mode).
+    gens = {
+        r.tags.get("surrogate_gen") for r in runs if _is_surrogate_run(r)
+    }
+    if len(gens) > 1:
+        raise ValueError(
+            f"Scenario {scenario}: surrogate runs from {len(gens)} distinct "
+            f"generator calibrations ({sorted(str(g) for g in gens)}) — "
+            f"purge superseded generations (results/run_bcf.py) before "
+            f"aggregating."
+        )
+
     accs = []
     for run in runs:
         for key in ("final/val_accuracy", "val/accuracy"):

@@ -368,6 +368,15 @@ def run_scenario_experiment(
                 # Attributes the run to an exact validated data artifact.
                 tracking.set_tag("data_sha256", digest["sha256"])
             if provenance == "surrogate":
+                from vision_spectra_tpu.data.medmnist import (
+                    surrogate_generation_fingerprint,
+                )
+
+                # Comparison-time guard key: runs from different surrogate
+                # generations must never blend (VERDICT r4 weak #5).
+                tracking.set_tag(
+                    "surrogate_gen", surrogate_generation_fingerprint()
+                )
                 logger.warning(
                     "Scenario %s seed %d runs on SURROGATE data — figures "
                     "exclude it unless --include-surrogate is passed",
