@@ -84,16 +84,17 @@ def run_corner(label: str, tint: float, noise: float) -> dict:
 
 
 def main() -> None:
+    out = REPO / "results" / "surrogate_robustness.json"
     results = []
     try:
         for label, tint, noise in CORNERS:
             print(f"=== corner: {label} ===", flush=True)
             results.append(run_corner(label, tint, noise))
+            # Incremental write: a killed run keeps its finished corners.
+            out.write_text(json.dumps(results, indent=1))
     finally:
         mm.SURROGATE_TINT_AMP = CENTER_TINT
         mm.SURROGATE_NOISE_STD = CENTER_NOISE
-    out = REPO / "results" / "surrogate_robustness.json"
-    out.write_text(json.dumps(results, indent=1))
     n_pass = sum(
         all(v is not False for v in r["contract"].values()) for r in results
     )
