@@ -915,3 +915,57 @@ class TestMidNTokenPadding:
         monkeypatch.setenv("VST_MIDN_MASKED", "1")
         with pytest.raises(ValueError, match="only supported"):
             _midn_mode_tag(56, 50)
+
+
+class TestFusedDecoder:
+    """The MIM decoder's blocks route through the fused whole-block kernel
+    (round-5: the 2 XLA decoder blocks cost 100.9 ms of the 165.8 ms MIM
+    step — nearly 2x the whole fused encoder; results/bench_mim_breakdown
+    .py). Fused and XLA decoder paths must agree in output and grads."""
+
+    def _setup(self, use_fused):
+        from vision_spectra_tpu.models.mim import MIMDecoder
+
+        return MIMDecoder(
+            encoder_embed_dim=64, decoder_embed_dim=64, decoder_depth=2,
+            decoder_num_heads=2, patch_size=4, num_channels=3,
+            dtype=jnp.float32, use_fused_blocks=use_fused,
+        )
+
+    def test_fused_matches_xla_forward_and_grads(self):
+        rng = np.random.RandomState(0)
+        b, n_vis, n_tot = 8, 13, 49
+        lat = jnp.asarray(rng.randn(b, n_vis, 64).astype(np.float32))
+        ids = jnp.asarray(
+            np.stack([rng.permutation(n_tot) for _ in range(b)]), jnp.int32)
+        pos = jnp.asarray(rng.randn(1, n_tot + 1, 64).astype(np.float32) * 0.02)
+        dec_x = self._setup(False)
+        dec_f = self._setup(True)
+        params = dec_x.init(jax.random.key(0), lat, ids, pos)["params"]
+
+        def lg(dec):
+            def loss(p):
+                pred = dec.apply({"params": p}, lat, ids, pos)
+                return jnp.mean(pred.astype(jnp.float32) ** 2)
+
+            return jax.value_and_grad(loss)(params)
+
+        v_x, g_x = lg(dec_x)
+        v_f, g_f = lg(dec_f)
+        assert np.abs(np.asarray(v_x) - np.asarray(v_f)) < 1e-3 * max(
+            abs(float(v_x)), 1e-3)
+        for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_x),
+            jax.tree_util.tree_leaves_with_path(g_f),
+        ):
+            assert pa == pb
+            sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
+            assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 2e-2 * sa, pa
+
+    def test_gate_respects_init_and_geometry(self):
+        from vision_spectra_tpu.models.vit import fused_stack_serves
+
+        # 49 tokens, E=64: served on the forced path.
+        assert fused_stack_serves(8, 49, 64, use_fused=True)
+        # Oversized embed dim: refused.
+        assert not fused_stack_serves(8, 49, 768, use_fused=True)

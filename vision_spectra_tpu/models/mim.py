@@ -116,7 +116,14 @@ class DecoderBlock(nn.Module):
 
 
 class MIMDecoder(nn.Module):
-    """Lightweight MAE decoder (reference: mim.py:23-137)."""
+    """Lightweight MAE decoder (reference: mim.py:23-137).
+
+    The decoder blocks run through the fused whole-block Pallas kernel on
+    the same gate as the encoder (round-5 measurement: the 2 XLA decoder
+    blocks cost 100.9 ms of the 165.8 ms MIM step at [8192, 49, 128] —
+    nearly 2x the entire fused 12-block encoder; results/
+    bench_mim_breakdown.py). ``mesh`` / ``use_fused_blocks`` mirror the
+    encoder's attributes and are plumbed by MIMModel/MultitaskViT."""
 
     encoder_embed_dim: int = 192
     decoder_embed_dim: int = 128
@@ -126,6 +133,8 @@ class MIMDecoder(nn.Module):
     num_channels: int = 3
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    use_fused_blocks: bool | None = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -162,14 +171,17 @@ class MIMDecoder(nn.Module):
         if pos_embed is not None:
             x_full = x_full + pos_embed[:, 1:, :].astype(x_full.dtype)  # skip CLS slot
 
-        for i in range(self.decoder_depth):
-            x_full = DecoderBlock(
-                d,
-                self.decoder_num_heads,
-                self.mlp_ratio,
-                dtype=self.dtype,
-                name=f"decoder_blocks_{i}",
-            )(x_full, deterministic=deterministic)
+        if self._fused_decoder_active(x_full):
+            x_full = self._decode_fused(x_full)
+        else:
+            for i in range(self.decoder_depth):
+                x_full = DecoderBlock(
+                    d,
+                    self.decoder_num_heads,
+                    self.mlp_ratio,
+                    dtype=self.dtype,
+                    name=f"decoder_blocks_{i}",
+                )(x_full, deterministic=deterministic)
         x_full = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(x_full)
         return nn.Dense(
             self.patch_size * self.patch_size * self.num_channels,
@@ -178,6 +190,52 @@ class MIMDecoder(nn.Module):
             dtype=self.dtype,
             name="decoder_pred",
         )(x_full).astype(jnp.float32)
+
+    def _fused_decoder_active(self, x: jnp.ndarray) -> bool:
+        """Same gate as the encoder (models/vit.fused_stack_serves); the
+        decoder has no dropout/drop-path, so only geometry/backend apply.
+        During init the XLA path must run so the params exist."""
+        from vision_spectra_tpu.models.vit import fused_stack_serves
+
+        if self.use_fused_blocks is False or self.is_initializing():
+            return False
+        b, n, _ = x.shape
+        return fused_stack_serves(
+            b, n, self.decoder_embed_dim, mesh=self.mesh,
+            use_fused=self.use_fused_blocks,
+        )
+
+    def _decode_fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Decoder blocks via the fused whole-block kernel (no drop-path:
+        unit masks). Params read from the identical pytree the XLA path
+        builds, so checkpoints and extraction are unaffected."""
+        import jax
+
+        from vision_spectra_tpu.models.vit import (
+            collect_block_params,
+            run_fused_stack,
+        )
+        from vision_spectra_tpu.ops.block_fused import padded_tokens
+
+        interpret = jax.default_backend() != "tpu"
+        b, n_real, e = x.shape
+        n = padded_tokens(n_real)
+        if n != n_real:
+            x = jnp.pad(x, ((0, 0), (0, n - n_real), (0, 0)))
+        rows = b * n
+        params_all = collect_block_params(
+            self.variables["params"], e, self.decoder_depth,
+            name_fmt="decoder_blocks_{i}",
+        )
+        ones = jnp.ones((rows, 1), jnp.float32)
+        masks = jnp.broadcast_to(ones, (self.decoder_depth, rows, 1))
+        h = run_fused_stack(
+            params_all, x.reshape(rows, e), masks, masks,
+            num_heads=self.decoder_num_heads, n=n, n_real=n_real,
+            mesh=self.mesh, interpret=interpret,
+        )
+        h = h.reshape(b, n, e)
+        return h[:, :n_real] if n != n_real else h
 
 
 class MIMModel(nn.Module):
@@ -205,6 +263,8 @@ class MIMModel(nn.Module):
             patch_size=self.encoder.patch_size,
             num_channels=self.encoder.num_channels,
             dtype=self.dtype,
+            use_fused_blocks=self.encoder.use_fused_blocks,
+            mesh=self.encoder.mesh,
         )
         self.decoder_pos_embed = self.param(
             "decoder_pos_embed",

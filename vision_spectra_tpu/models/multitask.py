@@ -48,6 +48,8 @@ class MultitaskViT(nn.Module):
             patch_size=self.encoder.patch_size,
             num_channels=self.encoder.num_channels,
             dtype=self.dtype,
+            use_fused_blocks=self.encoder.use_fused_blocks,
+            mesh=self.encoder.mesh,
         )
         self.decoder_pos_embed = self.param(
             "decoder_pos_embed",

@@ -269,6 +269,116 @@ class Block(nn.Module):
         return (x, probs) if return_probs else x
 
 
+def collect_block_params(tree, e: int, depth: int,
+                         name_fmt: str = "blocks_{i}") -> tuple:
+    """Extract the fused kernel's 16-tuple param layout for each block of a
+    pre-LN transformer stack from a flax param (sub)tree. Works for any
+    stack built from this module's Attention/Mlp/LayerNorm pieces — the
+    ViT encoder (``blocks_{i}``) and the MIM decoder
+    (``decoder_blocks_{i}``) share the pytree shape."""
+    params_all = []
+    for i in range(depth):
+        blk = tree[name_fmt.format(i=i)]
+        wqkv = blk["attn"]["qkv"]["kernel"]
+        bqkv = blk["attn"]["qkv"]["bias"]
+        params_all.append((
+            blk["norm1"]["scale"].reshape(1, e),
+            blk["norm1"]["bias"].reshape(1, e),
+            wqkv[:, :e], bqkv[:e].reshape(1, e),
+            wqkv[:, e:2 * e], bqkv[e:2 * e].reshape(1, e),
+            wqkv[:, 2 * e:], bqkv[2 * e:].reshape(1, e),
+            blk["attn"]["proj"]["kernel"],
+            blk["attn"]["proj"]["bias"].reshape(1, e),
+            blk["norm2"]["scale"].reshape(1, e),
+            blk["norm2"]["bias"].reshape(1, e),
+            blk["mlp"]["fc1"]["kernel"],
+            blk["mlp"]["fc1"]["bias"].reshape(1, -1),
+            blk["mlp"]["fc2"]["kernel"],
+            blk["mlp"]["fc2"]["bias"].reshape(1, e),
+        ))
+    return tuple(params_all)
+
+
+def run_fused_stack(params_all, h, m1_stack, m2_stack, *, num_heads: int,
+                    n: int, n_real: int, mesh=None, interpret: bool = False):
+    """Run the fused blocks over flat rows [B·n, E]; shard_map'd over the
+    data axis when a mesh is supplied (weight-grad psum inserted by the
+    shard_map transpose)."""
+    from vision_spectra_tpu.ops.block_fused import fused_vit_block
+
+    depth = len(params_all)
+
+    def run_blocks(h, m1_stack, m2_stack, params):
+        for i in range(depth):
+            h = fused_vit_block(
+                h, params[i], m1_stack[i], m2_stack[i],
+                num_heads=num_heads, n_tokens=n, n_real=n_real,
+                interpret=interpret,
+            )
+        return h
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from vision_spectra_tpu.parallel.mesh import DATA_AXIS
+
+        run_blocks = jax.shard_map(
+            run_blocks,
+            mesh=mesh,
+            in_specs=(
+                P(DATA_AXIS, None),
+                P(None, DATA_AXIS, None),
+                P(None, DATA_AXIS, None),
+                P(),
+            ),
+            out_specs=P(DATA_AXIS, None),
+            # pallas_call carries no varying-manual-axes info; replication
+            # of the P() weight inputs is still honored by the transpose
+            # (asserted against the XLA path in tests/test_parallel.py).
+            check_vma=False,
+        )
+    return run_blocks(h, m1_stack, m2_stack, params_all)
+
+
+def fused_stack_serves(b: int, n: int, e: int, *, mesh=None,
+                       use_fused=None) -> bool:
+    """Backend/mesh/geometry gate for running a pre-LN stack through the
+    fused kernel — the module-level core of ViTClassifier's
+    ``_fused_blocks_active``, reusable by the MIM decoder."""
+    from vision_spectra_tpu.ops.block_fused import (
+        kernel_serves,
+        padded_tokens,
+    )
+
+    if use_fused is False:
+        return False
+    n = padded_tokens(n)
+    rows = b * n
+    if mesh is not None:
+        from vision_spectra_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        if mesh.shape[MODEL_AXIS] > 1:
+            return False  # TP shards the block weights: XLA path
+        data = mesh.shape[DATA_AXIS]
+        if rows % data:
+            return False
+        rows //= data  # the kernel runs on per-shard rows
+    elif use_fused is None and jax.device_count() > 1:
+        return False  # multi-device without a mesh: GSPMD, XLA path
+    if use_fused is None:
+        if jax.default_backend() != "tpu":
+            return False  # auto engages on TPU only; True forces (tests)
+        from vision_spectra_tpu.ops.block_fused import TILE_ROWS
+
+        # Measured decision (results/RESULTS.md "science geometry"):
+        # below the full 256-row tile the XLA path is faster on every
+        # protocol geometry, so auto keeps XLA there; explicit True still
+        # serves small batches via the whole-batch tile.
+        if rows < TILE_ROWS:
+            return False
+    return kernel_serves(rows, n, e)
+
+
 class ViTClassifier(nn.Module):
     """ViT encoder + classification head.
 
@@ -388,45 +498,18 @@ class ViTClassifier(nn.Module):
         data-parallel mesh was injected (``self.mesh``); pallas_call is not
         GSPMD-partitionable, so an un-meshed multi-device process keeps the
         XLA path. Requires a served geometry and zero dropout (drop-path is
-        handled via masks). The geometry gate checks PER-SHARD rows on a
-        mesh.
+        handled via masks). Geometry/backend logic lives in the module-level
+        :func:`fused_stack_serves` (shared with the MIM decoder).
         """
         if self.use_fused_blocks is False or self.is_initializing():
             return False
         if self.drop_rate != 0.0 or self.attn_drop_rate != 0.0:
             return False
-        from vision_spectra_tpu.ops.block_fused import (
-            kernel_serves,
-            padded_tokens,
-        )
-
         b, n, _ = x.shape
-        n = padded_tokens(n)  # gate on the geometry _encode_fused will run
-        rows = b * n
-        if self.mesh is not None:
-            from vision_spectra_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-
-            if self.mesh.shape[MODEL_AXIS] > 1:
-                return False  # TP shards the block weights: XLA path
-            data = self.mesh.shape[DATA_AXIS]
-            if rows % data:
-                return False
-            rows //= data  # the kernel runs on per-shard rows
-        elif self.use_fused_blocks is None and jax.device_count() > 1:
-            return False  # multi-device without a mesh: GSPMD, XLA path
-        if self.use_fused_blocks is None:
-            if jax.default_backend() != "tpu":
-                return False  # auto engages on TPU only; True forces (tests)
-            from vision_spectra_tpu.ops.block_fused import TILE_ROWS
-
-            # Measured decision (results/RESULTS.md "science geometry"):
-            # below the full 256-row tile the XLA path is faster on every
-            # protocol geometry (and the kernel has a perf cliff at
-            # 192d/128 rows), so auto keeps XLA there; explicit True still
-            # serves small batches via the whole-batch tile.
-            if rows < TILE_ROWS:
-                return False
-        return kernel_serves(rows, n, self.embed_dim)
+        return fused_stack_serves(
+            b, n, self.embed_dim, mesh=self.mesh,
+            use_fused=self.use_fused_blocks,
+        )
 
     def _encode_fused(
         self, x: jnp.ndarray, deterministic: bool = True
@@ -444,10 +527,7 @@ class ViTClassifier(nn.Module):
         replicated — the shard_map transpose inserts the weight-gradient
         psum over ICI, so training composes with the mesh.
         """
-        from vision_spectra_tpu.ops.block_fused import (
-            fused_vit_block,
-            padded_tokens,
-        )
+        from vision_spectra_tpu.ops.block_fused import padded_tokens
 
         interpret = jax.default_backend() != "tpu"
         b, n_real, e = x.shape
@@ -477,28 +557,10 @@ class ViTClassifier(nn.Module):
             m = m / keep
             return jnp.broadcast_to(m[:, None, :], (b, n, 1)).reshape(rows, 1)
 
-        params_all = []
+        params_all = collect_block_params(tree, e, depth)
         m1s = []
         m2s = []
         for i in range(depth):
-            blk = tree[f"blocks_{i}"]
-            wqkv = blk["attn"]["qkv"]["kernel"]
-            bqkv = blk["attn"]["qkv"]["bias"]
-            params_all.append((
-                blk["norm1"]["scale"].reshape(1, e),
-                blk["norm1"]["bias"].reshape(1, e),
-                wqkv[:, :e], bqkv[:e].reshape(1, e),
-                wqkv[:, e:2 * e], bqkv[e:2 * e].reshape(1, e),
-                wqkv[:, 2 * e:], bqkv[2 * e:].reshape(1, e),
-                blk["attn"]["proj"]["kernel"],
-                blk["attn"]["proj"]["bias"].reshape(1, e),
-                blk["norm2"]["scale"].reshape(1, e),
-                blk["norm2"]["bias"].reshape(1, e),
-                blk["mlp"]["fc1"]["kernel"],
-                blk["mlp"]["fc1"]["bias"].reshape(1, -1),
-                blk["mlp"]["fc2"]["kernel"],
-                blk["mlp"]["fc2"]["bias"].reshape(1, e),
-            ))
             if rng is not None:
                 k1 = jax.random.fold_in(rng, 2 * i)
                 k2 = jax.random.fold_in(rng, 2 * i + 1)
@@ -507,40 +569,11 @@ class ViTClassifier(nn.Module):
             m1s.append(dp_mask(k1, dp_rates[i]))
             m2s.append(dp_mask(k2, dp_rates[i]))
 
-        def run_blocks(h, m1_stack, m2_stack, params):
-            for i in range(depth):
-                h = fused_vit_block(
-                    h, params[i], m1_stack[i], m2_stack[i],
-                    num_heads=num_heads, n_tokens=n, n_real=n_real,
-                    interpret=interpret,
-                )
-            return h
-
-        h = x.reshape(rows, e)
-        m1_stack = jnp.stack(m1s)  # [depth, rows, 1]
-        m2_stack = jnp.stack(m2s)
-        mesh = self.mesh
-        if mesh is not None:
-            from jax.sharding import PartitionSpec as P
-
-            from vision_spectra_tpu.parallel.mesh import DATA_AXIS
-
-            run_blocks = jax.shard_map(
-                run_blocks,
-                mesh=mesh,
-                in_specs=(
-                    P(DATA_AXIS, None),
-                    P(None, DATA_AXIS, None),
-                    P(None, DATA_AXIS, None),
-                    P(),
-                ),
-                out_specs=P(DATA_AXIS, None),
-                # pallas_call carries no varying-manual-axes info; replication
-                # of the P() weight inputs is still honored by the transpose
-                # (asserted against the XLA path in tests/test_parallel.py).
-                check_vma=False,
-            )
-        h = run_blocks(h, m1_stack, m2_stack, tuple(params_all))
+        h = run_fused_stack(
+            params_all, x.reshape(rows, e), jnp.stack(m1s), jnp.stack(m2s),
+            num_heads=num_heads, n=n, n_real=n_real, mesh=self.mesh,
+            interpret=interpret,
+        )
         h = h.reshape(b, n, e)
         return h[:, :n_real] if n != n_real else h
 
