@@ -576,6 +576,38 @@ def run_bench() -> None:
                 mim_p4_params, 2,
                 flops_per_img=mim_train_flops_per_image())
 
+    # Multitask at the patch-4 geometry: the encoder genuinely runs TWICE
+    # (full 50-token classification branch + masked-MIM branch), so the
+    # MFU numerator is the sum of both branches' model FLOPs.
+    mtl_p4 = MultitaskViT(encoder=model_p4, decoder_embed_dim=128,
+                          decoder_depth=2, decoder_num_heads=4,
+                          mask_ratio=0.75, dtype=dtype)
+    mtl_p4_params = mtl_p4.init(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        sample, mode="multitask", mask_ratio=0.75,
+    )["params"]
+
+    def mtl_p4_core(state, imgs, labs, key, lr_s, lr_mult):
+        k_aug, k_drop, k_mask = jax.random.split(key, 3)
+        x = train_augment(imgs, k_aug, num_channels=3)  # f32 (MIM target)
+
+        def loss_fn_(p):
+            logits, mim_loss, _pred, _mask = mtl_p4.apply(
+                {"params": p}, x, mode="multitask", mask_ratio=0.75,
+                deterministic=False, rngs={"dropout": k_drop, "mask": k_mask})
+            return loss_fn(logits, labs) + 0.5 * mim_loss
+
+        loss, grads = jax.value_and_grad(loss_fn_)(state.params)
+        state = apply_updates(state, grads, tx, lr_s, lr_mult)
+        return state, jnp.stack([loss, jnp.float32(1.0)])
+
+    bench_fused(
+        "train-mtl patch4 (50 tok cls + 13 vis mim)", mtl_p4_core,
+        mtl_p4_params, 2,
+        flops_per_img=(vit_train_flops_per_image(50, 192, 12, patch=4)
+                       + mim_train_flops_per_image()),
+    )
+
     # Flash attention vs XLA attention at long sequence (fwd + bwd).
     from vision_spectra_tpu.ops.attention import mha
     from vision_spectra_tpu.ops.flash_attention import flash_mha
