@@ -181,3 +181,32 @@ class TestConfigSystem:
         env = EnvSettings()
         assert env.seed == 99
         assert env.device == "cpu"
+
+
+class TestSliceBeforeNorm:
+    """__call__ slices the CLS token BEFORE the final LayerNorm (round-5
+    perf fix); LN is per-token, so logits must equal the norm-then-slice
+    formulation head(forward_features(x)[:, 0]) exactly."""
+
+    def test_call_equals_norm_then_slice(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vision_spectra_tpu.models import build_vit
+
+        model, _ = build_vit(
+            "vit_tiny_patch4_28", num_classes=5, embed_dim=64, depth=2,
+            num_heads=2, drop_path_rate=0.0,
+        )
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 28, 28, 3).astype(np.float32))
+        params = model.init(jax.random.key(0), x)["params"]
+        logits = model.apply({"params": params}, x, deterministic=True)
+        feats = model.apply({"params": params}, x, deterministic=True,
+                            method="forward_features")
+        cls = feats[:, 0]
+        ref = (cls @ params["head"]["kernel"]
+               + params["head"]["bias"]).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                                   rtol=0, atol=2e-6)
