@@ -1,3 +1,17 @@
+"""MIM-decoder mid-N geometry sweep (TPU) — do the shipped defaults bind?
+
+Round-5 follow-on to routing the MAE decoder through the fused block
+kernel: the mid-N defaults (group2, 512-row budget, probs-spill backward)
+were measured at N=50/E=192/h=3 and N=13 — this sweep re-measures them at
+the decoder's geometry (N=49, E=128, h=4, batch 8192, 2 blocks fwd+bwd).
+
+Measured (v5e): default 48.6 ms WINS — group1 52.7, group4 51.3,
+recompute-bwd 58.7, group4+recompute 58.4, pad-to-56 50.9; the 256-row
+budget fails to lower (245-row tile breaks the 8-sublane divisibility).
+
+Usage (TPU): PYTHONPATH=/root/repo:$PYTHONPATH python results/bench_dec_sweep.py
+"""
+
 import os, sys
 sys.path.insert(0, "/root/repo/results"); sys.path.insert(0, "/root/repo")
 from vision_spectra_tpu.core.runtime import enable_compilation_cache
