@@ -576,3 +576,52 @@ class TestAllRegimesOnMesh:
         )
         assert moved_head and moved_enc  # both groups train (scale 0.1 != 0)
         trainer.cleanup()
+
+
+class TestFusedDecoderOnMesh:
+    """The MIM decoder's fused-kernel path under a pure data-parallel mesh
+    (round 5: the decoder rides the same shard_map as the encoder). Output
+    and grads must match the XLA decoder on the same mesh."""
+
+    def test_decoder_shard_map_matches_xla(self):
+        from vision_spectra_tpu.models.mim import MIMDecoder
+        from vision_spectra_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # 8-way data parallel
+        rng = np.random.RandomState(0)
+        b, n_vis, n_tot = 16, 13, 49
+        lat = jnp.asarray(rng.randn(b, n_vis, 64).astype(np.float32))
+        ids = jnp.asarray(
+            np.stack([rng.permutation(n_tot) for _ in range(b)]), jnp.int32)
+        pos = jnp.asarray(
+            rng.randn(1, n_tot + 1, 64).astype(np.float32) * 0.02)
+
+        def build(fused, m):
+            return MIMDecoder(
+                encoder_embed_dim=64, decoder_embed_dim=64, decoder_depth=2,
+                decoder_num_heads=2, patch_size=4, num_channels=3,
+                dtype=jnp.float32, use_fused_blocks=fused, mesh=m,
+            )
+
+        dec_x = build(False, None)
+        dec_f = build(True, mesh)
+        params = dec_x.init(jax.random.key(0), lat, ids, pos)["params"]
+
+        def lg(dec):
+            def loss(p):
+                pred = dec.apply({"params": p}, lat, ids, pos)
+                return jnp.mean(pred.astype(jnp.float32) ** 2)
+
+            return jax.value_and_grad(loss)(params)
+
+        v_x, g_x = lg(dec_x)
+        v_f, g_f = lg(dec_f)  # fused + shard_map over the 8-device mesh
+        assert np.abs(np.asarray(v_x) - np.asarray(v_f)) < 1e-3 * max(
+            abs(float(v_x)), 1e-3)
+        for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_x),
+            jax.tree_util.tree_leaves_with_path(g_f),
+        ):
+            assert pa == pb
+            sa = max(np.abs(np.asarray(ga)).max(), 1e-3)
+            assert np.abs(np.asarray(ga) - np.asarray(gb)).max() < 2e-2 * sa
