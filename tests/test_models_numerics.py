@@ -13,7 +13,6 @@ from vision_spectra_tpu.config import (
     SchedulerName,
 )
 from vision_spectra_tpu.models import build_vit, parse_model_name, random_masking
-from vision_spectra_tpu.models.vit import Block
 
 
 class TestModelNameParsing:
